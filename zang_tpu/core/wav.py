@@ -1,0 +1,106 @@
+"""Minimal WAV (RIFF PCM) reader/writer.
+
+The reference uses the external zig-wav package (not vendored in the
+snapshot; build.zig:67-69). We implement the small subset zang needs:
+- write: PCM unsigned8 / signed16_lsb, any channel count
+- read: PCM u8 / i16 / i24 / i32 into the raw byte form the Sampler consumes
+  (sample decode conventions live in ops/sampler.py and match
+  src/modules/Sampler.zig:24-60).
+"""
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class WavData:
+    num_channels: int
+    sample_rate: int
+    bits_per_sample: int  # 8, 16, 24, or 32 (integer PCM)
+    data: bytes  # raw interleaved PCM frames
+
+
+def write_wav_s16(path: str, samples: np.ndarray, sample_rate: int, num_channels: int = 1) -> None:
+    """samples: int16 array, interleaved if multichannel ([n*ch] or [ch, n])."""
+    if samples.ndim == 2:
+        samples = np.ascontiguousarray(samples.T).reshape(-1)
+    assert samples.dtype == np.int16
+    _write(path, samples.tobytes(), sample_rate, num_channels, 16)
+
+
+def write_wav_u8(path: str, samples: np.ndarray, sample_rate: int, num_channels: int = 1) -> None:
+    """samples: int8 array (signed, as produced by mixdown); stored unsigned."""
+    if samples.ndim == 2:
+        samples = np.ascontiguousarray(samples.T).reshape(-1)
+    u8 = (samples.astype(np.int16) + 128).astype(np.uint8)
+    _write(path, u8.tobytes(), sample_rate, num_channels, 8)
+
+
+def _write(path: str, data: bytes, sample_rate: int, num_channels: int, bits: int) -> None:
+    byte_rate = sample_rate * num_channels * bits // 8
+    block_align = num_channels * bits // 8
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, num_channels, sample_rate, byte_rate, block_align, bits))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def read_wav(path: str) -> WavData:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        chunk_id = raw[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, num_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"{path}: only PCM supported (got format {audio_format})")
+    return WavData(
+        num_channels=num_channels,
+        sample_rate=sample_rate,
+        bits_per_sample=bits,
+        data=data,
+    )
+
+
+def read_wav_f32(path: str) -> tuple:
+    """Read a WAV and decode to float32 [-1, 1), shape [ch, n]. Returns (audio, sr)."""
+    w = read_wav(path)
+    if w.bits_per_sample == 8:
+        arr = (np.frombuffer(w.data, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+    elif w.bits_per_sample == 16:
+        arr = np.frombuffer(w.data, dtype="<i2").astype(np.float32) / 32768.0
+    elif w.bits_per_sample == 24:
+        b = np.frombuffer(w.data, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        arr = vals.astype(np.float32) / float(1 << 23)
+    elif w.bits_per_sample == 32:
+        arr = np.frombuffer(w.data, dtype="<i4").astype(np.float32) / float(1 << 31)
+    else:
+        raise ValueError(f"unsupported bits_per_sample {w.bits_per_sample}")
+    n = arr.shape[0] // w.num_channels
+    return arr[: n * w.num_channels].reshape(n, w.num_channels).T, w.sample_rate

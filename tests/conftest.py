@@ -1,18 +1,23 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-Must run before any jax import. Multi-chip sharding tests use the 8 virtual
-devices; kernels compile the same way they do on TPU (minus perf).
+The container force-registers the 'axon' TPU platform via sitecustomize and
+ignores the JAX_PLATFORMS env var, so we must use jax.config to select CPU.
+XLA_FLAGS must be in the environment before the CPU client initializes
+(lazily, on first use) to get 8 virtual devices for sharding tests.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # repo root on sys.path so `import zang_tpu` works without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -122,9 +122,16 @@ class NoteTracker:
         buf_time = np.float32(np.float32(out_len) / np.float32(sample_rate))
         end_t = np.float32(self.t + buf_time)
 
+        start_t = self.t
         while self.next_song_event < len(self.song):
             ev = self.song[self.next_song_event]
             note_t = np.float32(ev.t)
+            if note_t < start_t:
+                # the reference asserts chronological order (notes.zig:173)
+                raise ValueError(
+                    f"song events out of order: event {self.next_song_event} at "
+                    f"t={float(note_t)} is before tracker clock {float(start_t)}"
+                )
             if not (note_t < end_t):
                 break
             f = np.float32(np.float32(note_t - self.t) / buf_time)  # 0..1
@@ -138,6 +145,7 @@ class NoteTracker:
                 )
             )
             out.paramses.append(ev.params)
+            start_t = note_t
 
         self.t = end_t
         return out

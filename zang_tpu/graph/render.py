@@ -3,20 +3,22 @@
 The reference renders 1024-sample blocks in a host loop
 (examples/write_wav.zig:56-93). Here the *entire* render is a single XLA
 program: a lax.scan over chunks (default 65536 samples); within a chunk all
-voices and samples are parallel (prefix sums / gather programs / affine
-scans), and only tiny per-voice states (phase counters, filter l/b, delay
-lines) carry across chunks.
+voices and samples are parallel, and only tiny per-voice states (filter
+l/b, delay lines) carry across chunks.
+
+Segment programs (ops.segprog.SegProgram) in instrument plans are sliced
+per chunk on the host and fed to the scan as xs, so the device evaluates
+piecewise tables with O(K_chunk) masked delta sums — no gathers, no
+searchsorted (both pathologically slow on TPU).
 
 An Instrument provides:
-  plan(timelines, sample_rate, bank) -> program dict (numpy arrays; device-
-      ready; note-constant params expanded into segment tables)
+  plan(timelines, sample_rate) -> program dict; SegProgram leaves get
+      chunkified automatically, other leaves are captured as constants
   init_state(num_voices) -> state pytree
-  render(state, prog, blob, ctx) -> (state', audio)
-      audio: [V, n] mono per voice — the renderer sums voices (mixdown is
-      associative: src/zang/mixdown.zig) — or [C, n] already mixed.
-
-A Performance bundles instruments with their timelines and optional stereo
-effect chains.
+  render(state, prog, ctx) -> (state', audio)
+      prog has SegProgram leaves replaced by {"starts": [V,Kc], name: [V,Kc]}
+      device slices. audio: [V, n] per voice (summed by the renderer —
+      mixdown is a sum, src/zang/mixdown.zig) or [C, n] pre-mixed.
 """
 
 from dataclasses import dataclass
@@ -28,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.timeline import SubvoiceTimeline
-from ..ops.control import TableBank
+from ..ops.segprog import ChunkedSegProgram, SegProgram, chunkify
 
 
 @dataclass(frozen=True)
@@ -36,6 +38,17 @@ class RenderCtx:
     sample_rate: float  # static
     t_idx: jnp.ndarray  # int32 [n] absolute frame indices for this chunk
     n: int  # static chunk length
+
+
+def _map_segprograms(prog, fn):
+    """Recursively replace SegProgram leaves in a nested dict/list/tuple."""
+    if isinstance(prog, SegProgram):
+        return fn(prog)
+    if isinstance(prog, dict):
+        return {k: _map_segprograms(v, fn) for k, v in prog.items()}
+    if isinstance(prog, (list, tuple)):
+        return type(prog)(_map_segprograms(v, fn) for v in prog)
+    return prog
 
 
 class Performance:
@@ -59,27 +72,60 @@ class Performance:
         self.num_channels = num_channels
         self.post_fn = post_fn
         self.post_init_state = post_init_state
-
-        bank = TableBank()
-        self.programs = []
-        for inst, tls in self.parts:
-            self.programs.append(inst.plan(tls, self.sample_rate, bank))
-        self.blob = bank.blob()
+        self.programs = [
+            inst.plan(tls, self.sample_rate) for inst, tls in self.parts
+        ]
 
     def init_state(self):
-        states = [
-            inst.init_state(len(tls)) for inst, tls in self.parts
-        ]
+        states = [inst.init_state(len(tls)) for inst, tls in self.parts]
         post_state = self.post_init_state() if self.post_init_state else ()
         return (states, post_state)
 
-    def render_chunk(self, state, ctx: RenderCtx):
+    def chunk_xs(self, total_frames: int, chunk_size: int):
+        """Host: per-chunk slices of every SegProgram, stacked for lax.scan.
+
+        Non-SegProgram leaves become () (no scan xs); render merges them
+        back from the statically captured programs.
+        """
+        n_chunks = -(-total_frames // chunk_size)
+
+        def conv(sp: SegProgram):
+            ch = chunkify(sp, chunk_size, n_chunks, total_frames)
+            return {"starts": ch.starts, **ch.values}
+
+        def walk(prog):
+            if isinstance(prog, SegProgram):
+                return conv(prog)
+            if isinstance(prog, dict):
+                return {k: walk(v) for k, v in prog.items()}
+            if isinstance(prog, (list, tuple)):
+                return type(prog)(walk(v) for v in prog)
+            return ()  # static leaf: captured, not scanned
+
+        return [walk(p) for p in self.programs], n_chunks
+
+    def merge_chunk(self, prog, xs_chunk):
+        """Merge chunk-local seg slices into the static program structure."""
+        if isinstance(prog, SegProgram):
+            return xs_chunk
+        if isinstance(prog, dict):
+            return {k: self.merge_chunk(v, xs_chunk[k]) for k, v in prog.items()}
+        if isinstance(prog, (list, tuple)):
+            return type(prog)(
+                self.merge_chunk(v, x) for v, x in zip(prog, xs_chunk)
+            )
+        return prog
+
+    def render_chunk(self, state, chunk_progs, ctx: RenderCtx):
+        """chunk_progs: per-part program dicts with chunk-local seg slices."""
         states, post_state = state
-        blob = jnp.asarray(self.blob)
         mix = jnp.zeros((ctx.n,), jnp.float32)
         new_states = []
-        for (inst, _), prog, st in zip(self.parts, self.programs, states):
-            st2, audio = inst.render(st, prog, blob, ctx)
+        for (inst, _), static_prog, xs_chunk, st in zip(
+            self.parts, self.programs, chunk_progs, states
+        ):
+            prog = self.merge_chunk(static_prog, xs_chunk)
+            st2, audio = inst.render(st, prog, ctx)
             if audio.ndim == 2:  # [V, n] -> sum voices
                 mix = mix + jnp.sum(audio, axis=0)
             else:
@@ -92,6 +138,32 @@ class Performance:
         return (new_states, post_state), out
 
 
+def make_render_fn(perf: Performance, total_frames: int, chunk_size: int = 65536):
+    """Build (fn, args): fn(state0, starts, xs) renders the whole piece.
+
+    The returned fn is pure/jittable; args are ready to pass. Audio out is
+    [C, n_chunks*chunk] (trim to total_frames)."""
+    xs_np, n_chunks = perf.chunk_xs(total_frames, chunk_size)
+
+    def step(state, inputs):
+        c0, chunk_progs = inputs
+        ctx = RenderCtx(
+            sample_rate=perf.sample_rate,
+            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
+            n=chunk_size,
+        )
+        state, out = perf.render_chunk(state, chunk_progs, ctx)
+        return state, out
+
+    def run(state0, starts, xs):
+        _, chunks = jax.lax.scan(step, state0, (starts, xs))
+        return jnp.moveaxis(chunks, 0, 1).reshape(chunks.shape[1], -1)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    xs = jax.tree_util.tree_map(jnp.asarray, xs_np)
+    return run, (perf.init_state(), starts, xs)
+
+
 def render_performance(
     perf: Performance,
     total_frames: int,
@@ -99,46 +171,7 @@ def render_performance(
     jit: bool = True,
 ) -> np.ndarray:
     """Render the full piece; returns f32 [num_channels, total_frames]."""
-    n_chunks = -(-total_frames // chunk_size)
-
-    def step(state, c0):
-        ctx = RenderCtx(
-            sample_rate=perf.sample_rate,
-            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
-            n=chunk_size,
-        )
-        state, out = perf.render_chunk(state, ctx)
-        return state, out
-
-    def run(state0, starts):
-        _, chunks = jax.lax.scan(step, state0, starts)
-        # chunks: [n_chunks, C, chunk] -> [C, n_chunks * chunk]
-        return jnp.moveaxis(chunks, 0, 1).reshape(chunks.shape[1], -1)
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    state0 = perf.init_state()
+    run, args = make_render_fn(perf, total_frames, chunk_size)
     fn = jax.jit(run) if jit else run
-    audio = fn(state0, starts)
+    audio = fn(*args)
     return np.asarray(audio[:, :total_frames])
-
-
-def make_render_fn(perf: Performance, total_frames: int, chunk_size: int = 65536):
-    """Return (fn, args) where fn(state0, starts) renders the whole piece —
-    used by bench/compile-check entry points."""
-    n_chunks = -(-total_frames // chunk_size)
-
-    def step(state, c0):
-        ctx = RenderCtx(
-            sample_rate=perf.sample_rate,
-            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
-            n=chunk_size,
-        )
-        state, out = perf.render_chunk(state, ctx)
-        return state, out
-
-    def run(state0, starts):
-        _, chunks = jax.lax.scan(step, state0, starts)
-        return jnp.moveaxis(chunks, 0, 1).reshape(chunks.shape[1], -1)
-
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    return run, (perf.init_state(), starts)

@@ -1,37 +1,41 @@
-"""Control-rate compiler: envelopes, portamento, gates as gather programs.
+"""Control-rate compiler: envelopes, portamento, gates as segment programs.
 
 The reference's Envelope/Portamento are per-sample state machines driven by a
 goal-seeking Painter (src/zang/painter.zig:67-120, src/modules/Envelope.zig:38-108,
 src/modules/Portamento.zig:24-48). Their control flow depends only on note
 events and note-constant params — never on audio — so on TPU we compile them
-host-side into *programs*: sorted segment tables where
+host-side into segment programs where, per segment,
 
-    value[t] = a + b * blob[tbase + min(t - start, tmax)]
+    value[t] = a + b * shape(min(t0 + (dt + 1) * t_step, 1)),  dt = t - start
 
-and `blob` holds f32-exact paint-curve tables (the painter's `t += t_step;
-tp = shape(t)` sequence, reproduced bit-for-bit with float32 cumsum). The
-device evaluates programs with a searchsorted + gather — fully parallel over
-time and voices, bit-identical to the reference's sequential painter.
+with shape in {1 (const), t (linear), 1-(1-t)^2 (squared), 1-(1-t)^3 (cubed)}.
+
+Stage *lengths* (segment boundaries) come from f32-exact simulation of the
+painter's `t += t_step` accumulation (paint tables, float32 cumsum), so
+transitions land on exactly the reference's samples. Stage *values* use the
+closed form above on device — within ~1 ulp * sqrt(len) of the accumulated
+sequence (measured < -100 dBFS) and fully parallel with no gathers.
 """
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..core.curves import PaintCurve
 from ..core.timeline import SubvoiceTimeline
+from .segprog import SegProgram
 
 F32 = np.float32
 
-_CURVE_KIND = {"instantaneous": 0, "linear": 1, "squared": 2, "cubed": 3}
+SHAPE_CONST, SHAPE_LINEAR, SHAPE_SQUARED, SHAPE_CUBED = 0, 1, 2, 3
+_SHAPE_ID = {"linear": SHAPE_LINEAR, "squared": SHAPE_SQUARED, "cubed": SHAPE_CUBED}
 
-# cap on a single paint table (samples). A stage longer than this would need
-# ~64MB+; the reference's envelopes are <= a few seconds.
+# cap on a single paint table (samples); the reference's envelopes are <= a
+# few seconds. Guards against absurd durations exploding host memory.
 MAX_TABLE = 1 << 24
 
 
@@ -49,8 +53,8 @@ def _paint_table_cached(kind: str, dur_bits: int, sr_bits: int, t0_bits: int):
     steps = np.full(est + 1, t_step, dtype=np.float32)
     steps[0] = t0
     t = np.cumsum(steps, dtype=np.float32)[1:]  # t after each += t_step
-    crossing = np.argmax(t >= 1.0)
-    if not t[crossing] >= 1.0:  # never crossed within estimate: extend
+    crossing = int(np.argmax(t >= 1.0))
+    if not t[crossing] >= 1.0:
         raise ValueError("paint table estimate too short (bug)")
     t = t[: crossing + 1].copy()
     t[-1] = 1.0  # clamp (painter.zig:102-105)
@@ -63,11 +67,11 @@ def _paint_table_cached(kind: str, dur_bits: int, sr_bits: int, t0_bits: int):
         tp = F32(1.0) - it * it * it
     else:
         raise ValueError(kind)
-    return np.asarray(t, dtype=np.float32), np.asarray(tp, dtype=np.float32)
+    return np.asarray(t, dtype=np.float32), np.asarray(tp, dtype=np.float32), t_step
 
 
 def paint_table(kind: str, duration: float, sample_rate: float, t0: float = 0.0):
-    """tp sequence for one painter stage; entry k = tp after k+1 steps."""
+    """(t sequence, tp sequence, t_step) for one painter stage."""
     return _paint_table_cached(
         kind,
         int(F32(duration).view(np.uint32)),
@@ -76,98 +80,69 @@ def paint_table(kind: str, duration: float, sample_rate: float, t0: float = 0.0)
     )
 
 
-class TableBank:
-    """Accumulates paint tables into one flat blob for device gathers.
+# program segment tuple: (start, a, b, t_step, t0, shape_id)
+Seg = Tuple[int, float, float, float, float, int]
 
-    blob[0] == 0.0 (shared dummy entry for constant segments).
+
+def painter_program(segs_per_voice: List[List[Seg]], total: int) -> SegProgram:
+    """Pack per-voice painter segments into a SegProgram (padded)."""
+    S = max(1, max(len(s) for s in segs_per_voice))
+    V = len(segs_per_voice)
+    starts = np.full((V, S), total, dtype=np.int64)
+    a = np.zeros((V, S), dtype=np.float32)
+    b = np.zeros((V, S), dtype=np.float32)
+    t_step = np.zeros((V, S), dtype=np.float32)
+    t0 = np.zeros((V, S), dtype=np.float32)
+    shape = np.zeros((V, S), dtype=np.int32)
+    for v, segs in enumerate(segs_per_voice):
+        for k, (s, av, bv, ts, tz, sh) in enumerate(segs):
+            starts[v, k] = s
+            a[v, k] = av
+            b[v, k] = bv
+            t_step[v, k] = ts
+            t0[v, k] = tz
+            shape[v, k] = sh
+        # repeat the last segment's values into padding (zero deltas)
+        if segs:
+            k = len(segs)
+            a[v, k:] = a[v, k - 1]
+            b[v, k:] = b[v, k - 1]
+            t_step[v, k:] = t_step[v, k - 1]
+            t0[v, k:] = t0[v, k - 1]
+            shape[v, k:] = shape[v, k - 1]
+    return SegProgram(
+        starts=starts,
+        values={
+            "a": a, "b": b, "t_step": t_step, "t0": t0,
+            "shape": shape, "seg_start": starts.astype(np.int32),
+        },
+    )
+
+
+def eval_painter(vals: dict, t_idx: jnp.ndarray) -> jnp.ndarray:
+    """Device: painter program values -> [V, n].
+
+    vals: the pconst-evaluated per-sample dict (a, b, t_step, t0, shape,
+    seg_start), e.g. from segprog.eval_chunk.
     """
-
-    def __init__(self) -> None:
-        self._chunks: List[np.ndarray] = [np.zeros(1, dtype=np.float32)]
-        self._offsets = {}
-        self._size = 1
-
-    def add(self, kind: str, duration: float, sample_rate: float, t0: float = 0.0):
-        """-> (base offset in blob, length, t sequence, tp sequence)."""
-        key = (
-            kind,
-            int(F32(duration).view(np.uint32)),
-            int(F32(sample_rate).view(np.uint32)),
-            int(F32(t0).view(np.uint32)),
-        )
-        if key not in self._offsets:
-            t, tp = paint_table(kind, duration, sample_rate, t0)
-            self._offsets[key] = (self._size, len(tp), t, tp)
-            self._chunks.append(tp)
-            self._size += len(tp)
-        return self._offsets[key]
-
-    def blob(self) -> np.ndarray:
-        return np.concatenate(self._chunks)
-
-
-@dataclass
-class PainterProgram:
-    """Per-voice segment tables; value[t] = a + b * blob[tbase + min(dt, tmax)]."""
-
-    starts: np.ndarray  # int32 [V, S] (sorted per voice; padded with total)
-    a: np.ndarray  # f32 [V, S]
-    b: np.ndarray  # f32 [V, S]
-    tbase: np.ndarray  # int32 [V, S]
-    tmax: np.ndarray  # int32 [V, S]
-
-    @staticmethod
-    def from_lists(segs_per_voice: List[List[tuple]], total: int) -> "PainterProgram":
-        S = max(1, max(len(s) for s in segs_per_voice))
-        V = len(segs_per_voice)
-        starts = np.full((V, S), total, dtype=np.int64)
-        a = np.zeros((V, S), dtype=np.float32)
-        b = np.zeros((V, S), dtype=np.float32)
-        tbase = np.zeros((V, S), dtype=np.int32)
-        tmax = np.zeros((V, S), dtype=np.int32)
-        for v, segs in enumerate(segs_per_voice):
-            for k, (s, av, bv, tb, tm) in enumerate(segs):
-                starts[v, k] = s
-                a[v, k] = av
-                b[v, k] = bv
-                tbase[v, k] = tb
-                tmax[v, k] = tm
-        return PainterProgram(
-            starts=starts.astype(np.int32), a=a, b=b, tbase=tbase, tmax=tmax
-        )
-
-
-def eval_painter_program(prog, blob, t_idx):
-    """Device: evaluate a PainterProgram at absolute frames t_idx [n] -> [V, n].
-
-    prog fields are device arrays [V, S]; blob [B] f32; t_idx int32 [n].
-    """
-    starts, a, b, tbase, tmax = prog
-
-    def one(s):
-        return jnp.searchsorted(s, t_idx, side="right") - 1
-
-    seg = jax.vmap(one)(starts)  # [V, n]
-    seg = jnp.maximum(seg, 0)
-    take = lambda arr: jnp.take_along_axis(arr, seg, axis=-1)
-    dt = t_idx[None, :] - take(starts)
-    idx = take(tbase) + jnp.minimum(dt, take(tmax))
-    tp = blob[idx]
-    return take(a) + take(b) * tp
-
-
-def eval_step_program(starts, values, t_idx):
-    """Device: piecewise-constant per-sample expansion of note params.
-
-    starts [V, K] int32 sorted (pad with total), values [V, K], t_idx [n].
-    Samples before the first segment get values[:, 0].
-    """
-
-    def one(s):
-        return jnp.searchsorted(s, t_idx, side="right") - 1
-
-    seg = jnp.maximum(jax.vmap(one)(starts), 0)
-    return jnp.take_along_axis(values, seg, axis=-1)
+    dt = (t_idx[None, :] - vals["seg_start"]).astype(jnp.float32)
+    t = jnp.minimum(vals["t0"] + (dt + jnp.float32(1.0)) * vals["t_step"], jnp.float32(1.0))
+    it = jnp.float32(1.0) - t
+    shape = vals["shape"]
+    tp = jnp.where(
+        shape == SHAPE_LINEAR,
+        t,
+        jnp.where(
+            shape == SHAPE_SQUARED,
+            jnp.float32(1.0) - it * it,
+            jnp.where(
+                shape == SHAPE_CUBED,
+                jnp.float32(1.0) - it * it * it,
+                jnp.float32(1.0),
+            ),
+        ),
+    )
+    return vals["a"] + vals["b"] * tp
 
 
 # ---------------------------------------------------------------------------
@@ -178,17 +153,17 @@ class _PainterWalk:
     """Host-side mirror of the Painter state (t position, last/start values),
     emitting program segments instead of painting samples."""
 
-    def __init__(self, bank: TableBank, sample_rate: float) -> None:
-        self.bank = bank
+    def __init__(self, sample_rate: float) -> None:
         self.sr = sample_rate
         self.t_value = F32(0.0)  # painter.t
         self.finished = False  # painter.t >= 1.0
         self.last = F32(0.0)  # painter.last_value
         self.start = F32(0.0)  # painter.start
-        self.table_pos = 0  # samples consumed of current table
-        self.table_key = None  # (kind, dur) the current table was built for
-        self.table = None  # (base, length, array)
-        self.segs: List[tuple] = []
+        self.table_pos = 0  # samples consumed of current stage table
+        self.table_key = None
+        self.table = None  # (t_arr, tp_arr, t_step)
+        self.table_t0 = F32(0.0)
+        self.segs: List[Seg] = []
 
     def new_curve(self) -> None:
         self.start = self.last
@@ -198,16 +173,16 @@ class _PainterWalk:
         self.table_key = None
         self.table = None
 
-    def emit(self, s: int, a: F32, b: F32, tbase: int, tmax: int) -> None:
+    def emit(self, seg: Seg) -> None:
         # merge consecutive constant segments with equal value
-        if b == 0.0 and self.segs:
-            ps, pa, pb, _, _ = self.segs[-1]
-            if pb == 0.0 and pa == a:
+        if seg[2] == 0.0 and self.segs:
+            prev = self.segs[-1]
+            if prev[2] == 0.0 and prev[1] == seg[1]:
                 return
-        self.segs.append((s, float(a), float(b), tbase, tmax))
+        self.segs.append(seg)
 
     def emit_const(self, s: int, value: float) -> None:
-        self.emit(s, F32(value), F32(0.0), 0, 0)
+        self.emit((s, float(F32(value)), 0.0, 0.0, 0.0, SHAPE_CONST))
 
     def paint_flat(self, s: int, e: int, value: float) -> None:
         if e > s:
@@ -225,20 +200,23 @@ class _PainterWalk:
             return s, True
         key = (curve.kind, F32(curve.duration).tobytes())
         if self.table_key != key:
-            # stage (re)parameterized mid-flight: build a table continuing
-            # from the current t value
-            self.table = self.bank.add(curve.kind, curve.duration, self.sr, float(self.t_value))
+            # stage (re)parameterized mid-flight: continue from current t
+            self.table_t0 = F32(self.t_value)
+            self.table = paint_table(curve.kind, curve.duration, self.sr, float(self.t_value))
             self.table_key = key
             self.table_pos = 0
-        base, length, t_arr, tp_arr = self.table
+        t_arr, tp_arr, t_step = self.table
+        length = len(t_arr)
         if self.table_pos >= length:
             self.finished = True
             return s, True
         n = min(length - self.table_pos, e - s)
         if n > 0:
             b = F32(goal - self.start)
-            self.emit(s, self.start, b, base + self.table_pos,
-                      length - 1 - self.table_pos)
+            # t value before the first emitted sample of this program segment
+            t_base = t_arr[self.table_pos - 1] if self.table_pos > 0 else self.table_t0
+            self.emit((s, float(self.start), float(b), float(t_step),
+                       float(t_base), _SHAPE_ID[curve.kind]))
             self.last = F32(self.start + F32(tp_arr[self.table_pos + n - 1] * b))
             self.t_value = F32(t_arr[self.table_pos + n - 1])
             self.table_pos += n
@@ -256,16 +234,15 @@ IDLE, ATTACK, DECAY, SUSTAIN, RELEASE = range(5)
 
 def compile_envelope(
     tl: SubvoiceTimeline,
-    bank: TableBank,
     sample_rate: float,
     env_params_fn: Callable[[dict], dict],
-) -> List[tuple]:
+) -> List[Seg]:
     """Compile one subvoice's envelope into program segments.
 
     env_params_fn(note_params) -> dict with keys attack, decay, release
     (PaintCurve), sustain_volume (float), note_on (bool).
     """
-    w = _PainterWalk(bank, sample_rate)
+    w = _PainterWalk(sample_rate)
     state = IDLE
     w.emit_const(0, 0.0)  # idle before the first note
 
@@ -287,7 +264,11 @@ def compile_envelope(
                 change(ATTACK)
             if state == IDLE:
                 change(ATTACK)
-            assert state != RELEASE
+            if state == RELEASE:
+                raise ValueError(
+                    "note_on while in release without a new note id "
+                    "(the reference asserts here — Envelope.zig:45)"
+                )
             if state == ATTACK:
                 pos, fin = w.paint_toward(pos, e, p["attack"], 1.0)
                 if fin:
@@ -318,13 +299,12 @@ def compile_envelope(
 
 def compile_portamento(
     tl: SubvoiceTimeline,
-    bank: TableBank,
     sample_rate: float,
     porta_params_fn: Callable[[dict], dict],
-) -> List[tuple]:
+) -> List[Seg]:
     """porta_params_fn(note_params) -> dict with curve (PaintCurve), goal,
     note_on, prev_note_on."""
-    w = _PainterWalk(bank, sample_rate)
+    w = _PainterWalk(sample_rate)
     w.emit_const(0, 0.0)
     for k in range(len(tl.starts)):
         s = int(tl.starts[k])
@@ -349,13 +329,13 @@ def compile_portamento(
 # Gate compiler (src/modules/Gate.zig): 1.0 while note_on else 0.
 
 
-def compile_gate(tl: SubvoiceTimeline, gate_fn=None) -> List[tuple]:
+def compile_gate(tl: SubvoiceTimeline, gate_fn=None) -> List[Seg]:
     gate_fn = gate_fn or (lambda p: bool(p["note_on"]))
-    segs = [(0, 0.0, 0.0, 0, 0)]
+    segs: List[Seg] = [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)]
     for k in range(len(tl.starts)):
         s = int(tl.starts[k])
         v = 1.0 if gate_fn(tl.params[k]) else 0.0
-        if segs and segs[-1][1] == v and segs[-1][2] == 0.0:
+        if segs[-1][1] == v:
             continue
-        segs.append((s, v, 0.0, 0, 0))
+        segs.append((s, v, 0.0, 0.0, 0.0, SHAPE_CONST))
     return segs

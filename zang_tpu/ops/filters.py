@@ -15,7 +15,7 @@ from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 
-from .scan import affine_scan_with_prestates
+from .scan import affine2_scan
 
 Array = jnp.ndarray
 
@@ -87,34 +87,32 @@ def svf_filter(
     l_10, b_10, h_10 = _svf_step(one, zero, x, cut, r)
     l_01, b_01, h_01 = _svf_step(zero, one, x, cut, r)
 
-    A = jnp.stack(
-        [
-            jnp.stack([l_10 - l_00, l_01 - l_00], axis=-1),
-            jnp.stack([b_10 - b_00, b_01 - b_00], axis=-1),
-        ],
-        axis=-2,
-    )  # [..., n, 2, 2]
-    c = jnp.stack([l_00, b_00], axis=-1)  # [..., n, 2]
-
+    # affine map elements (a, b, c, d, e, f): M = [[a,b],[c,d]], v = [e,f]
+    ea = l_10 - l_00
+    eb = l_01 - l_00
+    ec = b_10 - b_00
+    ed = b_01 - b_00
+    ee = l_00
+    ef = b_00
     if active is not None:
-        eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), A.shape)
-        A = jnp.where(active[..., None, None], A, eye)
-        c = jnp.where(active[..., None], c, 0.0)
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        ea = jnp.where(active, ea, one)
+        eb = jnp.where(active, eb, zero)
+        ec = jnp.where(active, ec, zero)
+        ed = jnp.where(active, ed, one)
+        ee = jnp.where(active, ee, zero)
+        ef = jnp.where(active, ef, zero)
 
-    s0 = jnp.stack([l0, b0], axis=-1)  # [..., 2]
-    pre, post = affine_scan_with_prestates(A, c, s0)
+    pre_l, pre_b, post_l, post_b = affine2_scan((ea, eb, ec, ed, ee, ef), l0, b0)
 
     # output uses post-step l and b plus h computed from the pre-step state
-    l_out = post[..., 0]
-    b_out = post[..., 1]
-    h_out = h_00 + (h_10 - h_00) * pre[..., 0] + (h_01 - h_00) * pre[..., 1]
+    h_out = h_00 + (h_10 - h_00) * pre_l + (h_01 - h_00) * pre_b
     out = (
-        l_out * jnp.float32(l_mul)
-        + b_out * jnp.float32(b_mul)
+        post_l * jnp.float32(l_mul)
+        + post_b * jnp.float32(b_mul)
         + h_out * jnp.float32(h_mul)
     )
     if active is not None:
         out = jnp.where(active, out, 0.0)
-    l_end = post[..., -1, 0]
-    b_end = post[..., -1, 1]
-    return l_end, b_end, out
+    return post_l[..., -1], post_b[..., -1], out

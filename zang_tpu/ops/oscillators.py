@@ -33,6 +33,79 @@ def _advance(cnt0: Array, ifreq: Array) -> Tuple[Array, Array]:
     return cnt, cnt_end
 
 
+# ---------------------------------------------------------------------------
+# Segment-programmed phase: for note-constant frequencies the entire phase
+# trajectory is known at plan time. The host precomputes, per note segment,
+# the u32 increment and the exact phase counter at segment start (modular
+# arithmetic, so closed-form (t - seg_start) * ifreq is bit-identical to
+# per-sample accumulation). The device then needs NO cumsum and NO carried
+# state — oscillators become pure gathers + elementwise math.
+
+
+def plan_phase_segments(timelines, freq_fn, sample_rate: float, guard_div8: bool = False):
+    """Host: compile note-constant frequencies into a phase SegProgram.
+
+    Values per segment: ifreq (u32 increment), A = cnt0 - start*ifreq (u32,
+    so cnt(t) = A + t*ifreq mod 2^32 — bit-identical to per-sample
+    accumulation), valid (f32 0/1). freq_fn(note_params) -> frequency.
+    guard_div8 applies the pulse/trisaw validity rule (silent + no phase
+    advance outside [0, sr/8] — PulseOsc.zig:82-84).
+    """
+    import numpy as np
+
+    from .segprog import SegProgram
+
+    V = len(timelines)
+    total = timelines[0].total if timelines else 0
+    K = max(1, max(len(tl.starts) for tl in timelines))
+    starts = np.full((V, K), total, dtype=np.int64)
+    ifreq = np.zeros((V, K), dtype=np.uint32)
+    A = np.zeros((V, K), dtype=np.uint32)
+    valid = np.zeros((V, K), dtype=np.float32)
+    srbase = np.float32(np.float32(4294967296.0) / np.float32(sample_rate))
+    with np.errstate(over="ignore"):
+        for v, tl in enumerate(timelines):
+            k = len(tl.starts)
+            if k == 0:
+                continue
+            starts[v, :k] = tl.starts
+            freqs = tl.param_f32(freq_fn)
+            scaled = srbase * freqs
+            mag = np.abs(scaled).astype(np.uint32)
+            inc = np.where(scaled >= 0, mag, np.uint32(0) - mag)
+            ok = np.ones(k, dtype=bool)
+            if guard_div8:
+                ok = (freqs >= 0) & (freqs <= np.float32(sample_rate) / np.float32(8.0))
+                inc = np.where(ok, inc, np.uint32(0))
+            valid[v, :k] = ok.astype(np.float32)
+            valid[v, k:] = valid[v, k - 1]
+            ifreq[v, :k] = inc
+            ifreq[v, k:] = inc[-1]
+            # exact u32 phase at each segment start
+            ends = np.append(tl.starts[1:], total)
+            lens = (ends - tl.starts).astype(np.uint32)
+            c = np.uint32(0)
+            for i in range(k):
+                A[v, i] = np.uint32(c - np.uint32(tl.starts[i]) * inc[i])
+                c = np.uint32(c + lens[i] * inc[i])
+            A[v, k:] = A[v, k - 1]
+    return SegProgram(starts=starts, values={"ifreq": ifreq, "A": A, "valid": valid})
+
+
+def phase_from_chunk(vals: dict, t_idx: Array) -> Tuple[Array, Array, Array]:
+    """Device: (cnt, ifreq, valid) per sample from pconst-evaluated phase
+    program values (ifreq, A, valid)."""
+    ifreq = vals["ifreq"]
+    cnt = vals["A"] + t_idx.astype(jnp.uint32)[None, :] * ifreq
+    return cnt, ifreq, vals["valid"] > jnp.float32(0.5)
+
+
+def sine_wave(cnt: Array, phase: Union[Array, float]) -> Array:
+    """out = sin((t + phase) * pi * 2), t = utof23(cnt) (SineOsc.zig:4-6)."""
+    t = utof23(cnt)
+    return jnp.sin((t + jnp.asarray(phase, jnp.float32)) * PI * jnp.float32(2.0))
+
+
 def sine_osc(
     cnt0: Array,
     freq: Array,
@@ -42,15 +115,14 @@ def sine_osc(
 ) -> Tuple[Array, Array]:
     """Sine oscillator (parity contract for src/modules/SineOsc.zig:23-87).
 
-    out = sin((t + phase) * pi * 2) with t = utof23(cnt), preserving the
-    reference's expression order.
+    General per-sample-frequency path (cumsum). For note-constant freq use
+    plan_phase_segments + seg_counters + sine_wave (stateless, faster).
     """
     ifreq = freq_to_ifreq(jnp.asarray(freq, jnp.float32), sample_rate)
     if active is not None:
         ifreq = jnp.where(active, ifreq, jnp.uint32(0))
     cnt, cnt_end = _advance(cnt0, ifreq)
-    t = utof23(cnt)
-    out = jnp.sin((t + jnp.asarray(phase, jnp.float32)) * PI * jnp.float32(2.0))
+    out = sine_wave(cnt, phase)
     if active is not None:
         out = jnp.where(active, out, jnp.float32(0.0))
     return cnt_end, out
@@ -78,7 +150,16 @@ def pulse_osc(
     srbase = jnp.float32(4294967296.0) / jnp.float32(sample_rate)
     ifreq = jnp.where(valid, (srbase * freq).astype(jnp.uint32), jnp.uint32(0))
     cnt, cnt_end = _advance(cnt0, ifreq)
+    return cnt_end, pulse_wave(cnt, ifreq, color, valid)
 
+
+def pulse_wave(cnt: Array, ifreq: Array, color: Union[Array, float],
+               valid: Optional[Array] = None) -> Array:
+    """Anti-aliased pulse values from phase counters (PulseOsc.zig:96-113).
+
+    The 3-bit transition state machine reduces to per-sample pure functions:
+    prev bit = (cnt - ifreq) < brpt, cur bit = cnt < brpt, wrap = cnt < ifreq.
+    """
     brpt = ftou32(jnp.clip(jnp.asarray(color, jnp.float32), 0.0, 1.0))
     col = utof23(brpt)
     # gdf only matters on transition samples, where ifreq >= 1; clamp to
@@ -96,8 +177,10 @@ def pulse_osc(
     downup = gdf * jnp.float32(2.0) * p - GAIN  # 0b101
     v_nowrap = jnp.where(prev, jnp.where(cur, up, updown), down)
     v_wrap = jnp.where(prev, cc121, jnp.where(cur, downup, cc212))
-    out = jnp.where(valid, jnp.where(wrapped, v_wrap, v_nowrap), jnp.float32(0.0))
-    return cnt_end, out
+    out = jnp.where(wrapped, v_wrap, v_nowrap)
+    if valid is not None:
+        out = jnp.where(valid, out, jnp.float32(0.0))
+    return out
 
 
 def trisaw_osc(
@@ -121,7 +204,12 @@ def trisaw_osc(
     srbase = jnp.float32(4294967296.0) / jnp.float32(sample_rate)
     ifreq = jnp.where(valid, (srbase * freq).astype(jnp.uint32), jnp.uint32(0))
     cnt, cnt_end = _advance(cnt0, ifreq)
+    return cnt_end, trisaw_wave(cnt, ifreq, color, valid)
 
+
+def trisaw_wave(cnt: Array, ifreq: Array, color: Union[Array, float],
+                valid: Optional[Array] = None) -> Array:
+    """Anti-aliased tri/saw values from phase counters (TriSawOsc.zig:92-117)."""
     brpt = ftou32(jnp.clip(jnp.asarray(color, jnp.float32), 0.0, 1.0))
     col = utof23(brpt)
     ifreq_safe = jnp.maximum(ifreq, jnp.uint32(1))
@@ -142,8 +230,10 @@ def trisaw_osc(
     dudud = -rcpf * (GAIN + c2 * omf * (p + p + omf))
     v_nowrap = jnp.where(prev, jnp.where(cur, up, updown), down)
     v_wrap = jnp.where(prev, ududu, jnp.where(cur, downup, dudud))
-    out = jnp.where(valid, GAIN + jnp.where(wrapped, v_wrap, v_nowrap), jnp.float32(0.0))
-    return cnt_end, out
+    out = GAIN + jnp.where(wrapped, v_wrap, v_nowrap)
+    if valid is not None:
+        out = jnp.where(valid, out, jnp.float32(0.0))
+    return out
 
 
 def trisaw_naive(

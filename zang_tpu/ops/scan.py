@@ -12,6 +12,32 @@ import jax
 import jax.numpy as jnp
 
 
+def pconst_multi(starts: jnp.ndarray, values: dict, t_idx: jnp.ndarray) -> dict:
+    """Evaluate piecewise-constant segment tables at samples, gather-free.
+
+    starts: [V, K] int32, sorted per voice; values: dict of [V, K] arrays
+    (f32 / i32 / u32); t_idx: [n] int32. Returns {name: [V, n]}.
+
+    value(t) = sum_k [t >= starts_k] * (v_k - v_{k-1})  — a masked delta sum,
+    unrolled over K. On TPU this runs at VPU speed; a searchsorted+gather
+    formulation is ~300x slower (XLA lowers both as serialized scalar work).
+    Segments must satisfy starts[:, 0] <= t_idx[0] wherever the value
+    matters; padding entries need start > t_idx[-1] or zero delta.
+    """
+    K = starts.shape[-1]
+    out = {}
+    deltas = {}
+    for name, v in values.items():
+        deltas[name] = jnp.concatenate([v[:, :1], v[:, 1:] - v[:, :-1]], axis=1)
+        out[name] = jnp.zeros((starts.shape[0], t_idx.shape[0]), dtype=v.dtype)
+    for k in range(K):
+        mask = t_idx[None, :] >= starts[:, k : k + 1]
+        for name in values:
+            d = deltas[name][:, k : k + 1]
+            out[name] = out[name] + jnp.where(mask, d, jnp.zeros_like(d))
+    return out
+
+
 def exclusive_cumsum_u32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Exclusive prefix sum in uint32 (wrapping, order-independent)."""
     inc = jnp.cumsum(x, axis=axis, dtype=jnp.uint32)
@@ -45,52 +71,81 @@ def freq_to_ifreq(freq: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
     return jnp.where(scaled >= 0, mag, jnp.uint32(0) - mag)
 
 
-def affine_scan(A: jnp.ndarray, c: jnp.ndarray, s0: jnp.ndarray, time_axis: int = -3):
-    """Run x_i = A_i x_{i-1} + c_i in parallel; returns all post-states.
+def _affine2_combine(x, y):
+    """Compose two affine maps s -> M s + v on 2-state systems.
 
-    A: [..., n, d, d], c: [..., n, d], s0: [..., d].
-    Returns states [..., n, d] where states[..., i, :] is the state AFTER
-    applying step i (inclusive scan).
-
-    The 2x2 composition is written as explicit elementwise arithmetic: on
-    TPU, einsum/matmul would route f32 through bf16 MXU passes at default
-    precision, which destroys the filter's precision (~-50 dB). Elementwise
-    mul/add stays on the VPU in full f32.
+    Elements are (a, b, c, d, e, f) for M = [[a, b], [c, d]], v = [e, f].
+    Written as explicit elementwise arithmetic: on TPU, einsum/matmul would
+    route f32 through bf16 MXU passes at default precision, which destroys
+    the filter's precision (~-50 dB). Elementwise mul/add stays on the VPU
+    in full f32.
     """
-    assert time_axis == -3
-    d = A.shape[-1]
-    assert d == 2, "specialized for 2-state recurrences"
+    (a1, b1, c1, d1, e1, f1) = x
+    (a2, b2, c2, d2, e2, f2) = y
+    return (
+        a2 * a1 + b2 * c1,
+        a2 * b1 + b2 * d1,
+        c2 * a1 + d2 * c1,
+        c2 * b1 + d2 * d1,
+        a2 * e1 + b2 * f1 + e2,
+        c2 * e1 + d2 * f1 + f2,
+    )
 
-    def combine(x, y):
-        (a1, b1, c1_, d1, e1, f1) = x
-        (a2, b2, c2_, d2, e2, f2) = y
-        # M2 @ M1 for M = [[a, b], [c, d]]; offset v2 + M2 @ v1 for v = [e, f]
-        return (
-            a2 * a1 + b2 * c1_,
-            a2 * b1 + b2 * d1,
-            c2_ * a1 + d2 * c1_,
-            c2_ * b1 + d2 * d1,
-            a2 * e1 + b2 * f1 + e2,
-            c2_ * e1 + d2 * f1 + f2,
+
+def _affine2_apply(m, lx, ly):
+    a, b, c, d, e, f = m
+    return a * lx + b * ly + e, c * lx + d * ly + f
+
+
+def affine2_scan(elems, s0_l, s0_b, block: int = 512):
+    """Parallel scan of x_i = M_i x_{i-1} + v_i for 2-state recurrences.
+
+    elems: tuple (a, b, c, d, e, f), each [..., n] — the per-sample affine
+    maps. s0_l/s0_b: [...] initial state components. Returns
+    (pre_l, pre_b, post_l, post_b): [..., n] states before/after each step.
+
+    Two-level decomposition keeps compile time and memory bounded: an
+    associative scan *within* fixed-size blocks (depth log2(block)), then a
+    second associative scan over the per-block summaries, then a broadcast
+    apply. A flat scan over e.g. 1M samples unrolls ~20 slice levels and
+    compiles for minutes; this stays at 9 + log2(n/block).
+    """
+    n = elems[0].shape[-1]
+    if n % block != 0 or n <= block:
+        # flat scan for small/odd sizes
+        inc = jax.lax.associative_scan(_affine2_combine, elems, axis=elems[0].ndim - 1)
+        post_l, post_b = _affine2_apply(inc, s0_l[..., None], s0_b[..., None])
+    else:
+        nb = n // block
+        blocked = tuple(e.reshape(*e.shape[:-1], nb, block) for e in elems)
+        inc = jax.lax.associative_scan(
+            _affine2_combine, blocked, axis=blocked[0].ndim - 1
+        )  # within-block inclusive prefixes [..., nb, block]
+        summaries = tuple(e[..., -1] for e in inc)  # [..., nb]
+        sum_scan = jax.lax.associative_scan(
+            _affine2_combine, summaries, axis=summaries[0].ndim - 1
         )
-
-    elems = (
-        A[..., 0, 0], A[..., 0, 1], A[..., 1, 0], A[..., 1, 1],
-        c[..., 0], c[..., 1],
+        # block-start states: s0 for block 0, scanned summaries before j
+        bl, bb = _affine2_apply(sum_scan, s0_l[..., None], s0_b[..., None])
+        start_l = jnp.concatenate(
+            [jnp.broadcast_to(s0_l[..., None], (*bl.shape[:-1], 1)), bl[..., :-1]],
+            axis=-1,
+        )
+        start_b = jnp.concatenate(
+            [jnp.broadcast_to(s0_b[..., None], (*bb.shape[:-1], 1)), bb[..., :-1]],
+            axis=-1,
+        )
+        post_l, post_b = _affine2_apply(
+            inc, start_l[..., :, None], start_b[..., :, None]
+        )
+        post_l = post_l.reshape(*post_l.shape[:-2], n)
+        post_b = post_b.reshape(*post_b.shape[:-2], n)
+    pre_l = jnp.concatenate(
+        [jnp.broadcast_to(s0_l[..., None], (*post_l.shape[:-1], 1)), post_l[..., :-1]],
+        axis=-1,
     )
-    a, b, c_, dd, e, f = jax.lax.associative_scan(combine, elems, axis=A.ndim - 3)
-    x0 = s0[..., None, 0]
-    y0 = s0[..., None, 1]
-    states = jnp.stack([a * x0 + b * y0 + e, c_ * x0 + dd * y0 + f], axis=-1)
-    return states
-
-
-def affine_scan_with_prestates(A, c, s0):
-    """Like affine_scan but also returns pre-states (state BEFORE step i)."""
-    post = affine_scan(A, c, s0)
-    pre = jnp.concatenate(
-        [jnp.broadcast_to(s0[..., None, :], (*post.shape[:-2], 1, post.shape[-1])),
-         post[..., :-1, :]],
-        axis=-2,
+    pre_b = jnp.concatenate(
+        [jnp.broadcast_to(s0_b[..., None], (*post_b.shape[:-1], 1)), post_b[..., :-1]],
+        axis=-1,
     )
-    return pre, post
+    return pre_l, pre_b, post_l, post_b

@@ -1,0 +1,61 @@
+"""Headline benchmark: full Bach Toccata render realtime factor on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+value = steady-state realtime factor (render seconds of audio per wall
+second, compile excluded — the render function is jitted once and timed on
+a second invocation). vs_baseline = value / 1000 (the BASELINE.md target:
+>1000x realtime per chip; the reference publishes no numbers of its own).
+
+Env:
+  ZANG_BENCH_SECONDS  override render length (default 385, the write_wav
+                      golden duration)
+  ZANG_BENCH_CHUNK    chunk size (default 65536)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zang_tpu.graph.render import make_render_fn
+    from zang_tpu.host import song as sm
+
+    seconds = float(os.environ.get("ZANG_BENCH_SECONDS", sm.NUM_SECONDS))
+    chunk = int(os.environ.get("ZANG_BENCH_CHUNK", 65536))
+    total = int(seconds * sm.SAMPLE_RATE)
+
+    perf = sm.build_performance(total)
+    run, args = make_render_fn(perf, total, chunk_size=chunk)
+
+    # force full execution with a scalar fetch (remote backends may report
+    # buffers ready before execution completes)
+    jrun = jax.jit(lambda s, st, xs: jnp.sum(run(s, st, xs)).astype(jnp.float32))
+    checksum = float(jrun(*args))  # compile + first run
+    t0 = time.time()
+    checksum = float(jrun(*args))
+    dt = time.time() - t0
+    rtf = seconds / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bach_toccata_render_rtf_48k",
+                "value": round(rtf, 1),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

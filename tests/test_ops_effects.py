@@ -1,0 +1,179 @@
+"""Parity tests for noise/distortion/decimator/delay/sampler kernels."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zang_tpu.core.span import Span
+from zang_tpu.graph.fidelity import deviation_dbfs
+from zang_tpu.ops import delay as d_ops
+from zang_tpu.ops import effects, noise, sampler
+from zang_tpu.oracle import modules as om
+from zang_tpu.oracle import instruments as oi
+
+
+class TestDistortion:
+    def test_overdrive_matches_oracle(self):
+        x = (np.random.default_rng(0).standard_normal(4096) * 0.5).astype(np.float32)
+        a = np.zeros(4096, dtype=np.float32)
+        om.Distortion().paint(Span(0, 4096), [a], [], True, {
+            "input": x, "type": "overdrive", "ingain": 0.25, "outgain": 0.8, "offset": 0.1,
+        })
+        b = np.asarray(effects.distortion(jnp.asarray(x), "overdrive", 0.25, 0.8, 0.1))
+        dev = deviation_dbfs(a, b)
+        assert dev[1] < -120.0, dev
+
+    def test_clip_matches_oracle(self):
+        x = np.linspace(-2, 2, 1000, dtype=np.float32)
+        a = np.zeros(1000, dtype=np.float32)
+        om.Distortion().paint(Span(0, 1000), [a], [], True, {
+            "input": x, "type": "clip", "ingain": 0.3, "outgain": 1.0, "offset": -0.2,
+        })
+        b = np.asarray(effects.distortion(jnp.asarray(x), "clip", 0.3, 1.0, -0.2))
+        dev = deviation_dbfs(a, b)
+        assert dev[1] < -120.0, dev
+
+
+class TestDecimator:
+    def test_parity_with_oracle(self):
+        n = 8192
+        x = (np.random.default_rng(1).standard_normal(n)).astype(np.float32)
+        orc = om.Decimator(mode="parity")
+        a = np.zeros(n, dtype=np.float32)
+        for s in range(0, n, 1024):
+            orc.paint(Span(s, s + 1024), [a], [], False, {
+                "sample_rate": 44100.0, "input": x, "fake_sample_rate": 5512.0,
+            })
+        cnt0 = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
+        dval0 = jnp.zeros((1,), jnp.float32)
+        _, _, out = effects.decimator(cnt0, dval0, jnp.asarray(x)[None], 5512.0, 44100.0)
+        np.testing.assert_array_equal(a, np.asarray(out[0]))
+
+    def test_passthrough_when_fake_geq_sr(self):
+        x = np.arange(16, dtype=np.float32)
+        cnt0 = jnp.full((1,), 123, jnp.uint32)
+        dval0 = jnp.full((1,), 9.0, jnp.float32)
+        cnt, dval, out = effects.decimator(cnt0, dval0, jnp.asarray(x)[None], 48000.0, 44100.0)
+        np.testing.assert_array_equal(np.asarray(out[0]), x)
+        assert int(cnt[0]) == 0xFFFFFFFF and float(dval[0]) == 0.0
+
+
+class TestPinkNoise:
+    def test_tape_parity_with_oracle(self):
+        n = 4096
+        rng = np.random.default_rng(2)
+        tape = rng.random(n, dtype=np.float32)
+        # oracle: one paint call per block of 1024, pink state resets each call
+        orc = om.Noise(tape_fn=None)
+        pos = [0]
+
+        def tape_fn(k):
+            out = tape[pos[0] : pos[0] + k]
+            pos[0] += k
+            return out
+
+        orc.tape_fn = tape_fn
+        a = np.zeros(n, dtype=np.float32)
+        for s in range(0, n, 1024):
+            orc.paint(Span(s, s + 1024), [a], [], False, {"color": "pink"})
+        # device: reset mask at block starts (the reference's per-call quirk)
+        reset = np.zeros(n, dtype=bool)
+        reset[::1024] = True
+        out, _ = noise.pink_from_tape(jnp.asarray(tape)[None], reset_mask=jnp.asarray(reset)[None])
+        dev = deviation_dbfs(a, np.asarray(out[0]))
+        # one-pole scans reorder f32 adds vs the sequential loop: ulp-level
+        assert dev[0] < -100.0, dev
+
+    def test_white_range(self):
+        w, tape = noise.white_noise(jax.random.PRNGKey(0), (2, 1024))
+        w = np.asarray(w)
+        assert w.min() >= -1.0 and w.max() < 1.0
+        assert abs(w.mean()) < 0.1
+
+
+class TestSimpleDelayEchoes:
+    def test_simple_delay_parity(self):
+        D, n = 700, 4096
+        x = (np.random.default_rng(3).standard_normal(n)).astype(np.float32)
+        sd = oi.SimpleDelay(D)
+        a = np.zeros(n, dtype=np.float32)
+        for s in range(0, n, 1024):
+            sd.paint(Span(s, s + 1024), [a], [], False, {"input": x})
+        state = jnp.zeros((D,), jnp.float32)
+        _, out = d_ops.simple_delay(state, jnp.asarray(x))
+        np.testing.assert_array_equal(a, np.asarray(out))
+
+    def test_filtered_echoes_parity(self):
+        D, n = 2048, 8192
+        x = np.zeros(n, dtype=np.float32)
+        x[0:100] = 1.0  # impulse burst
+        fe = oi.FilteredEchoes(D)
+        a = np.zeros(n, dtype=np.float32)
+        temps = [np.zeros(n, dtype=np.float32) for _ in range(2)]
+        for s in range(0, n, 1024):
+            fe.paint(Span(s, s + 1024), [a], temps, False, {
+                "input": x, "feedback_volume": 0.6, "cutoff": 0.5,
+            })
+        state = {"buf": jnp.zeros((D,)), "l": jnp.zeros(()), "b": jnp.zeros(())}
+        _, out = d_ops.filtered_echoes(state, jnp.asarray(x), 0.6, 0.5, D)
+        dev = deviation_dbfs(a, np.asarray(out))
+        assert dev[0] < -110.0, dev
+
+    def test_stereo_echoes_parity(self):
+        D, n = 3000, 8192
+        x = np.zeros(n, dtype=np.float32)
+        x[100:200] = 0.5
+        se = oi.StereoEchoes(D)
+        a = np.zeros((2, n), dtype=np.float32)
+        temps = [np.zeros(n, dtype=np.float32) for _ in range(4)]
+        for s in range(0, n, 1024):
+            se.paint(Span(s, s + 1024), [a[0], a[1]], temps, False, {
+                "input": x, "feedback_volume": 0.5, "cutoff": 0.6,
+            })
+        state = d_ops.stereo_echoes_init(D)
+        _, out = d_ops.stereo_echoes(state, jnp.asarray(x), 0.5, 0.6)
+        dev = deviation_dbfs(a, np.asarray(out))
+        assert dev[0] < -110.0, dev
+
+
+class TestSampler:
+    def _mk_wav(self, sr, n, bits=16, channels=1):
+        from zang_tpu.core.wav import WavData
+
+        rng = np.random.default_rng(5)
+        pcm = (rng.standard_normal(n * channels) * 8000).astype(np.int16)
+        return WavData(num_channels=channels, sample_rate=sr, bits_per_sample=bits,
+                       data=pcm.tobytes())
+
+    def test_resample_parity(self):
+        from zang_tpu.core.timeline import SubvoiceTimeline
+        from zang_tpu.oracle.modules import Sample, Sampler as OSampler
+
+        w = self._mk_wav(22050, 3000)
+        table = sampler.decode_wav_channel(w, 0)
+        n = 8192
+        tl = SubvoiceTimeline(
+            starts=np.array([0]), resets=np.array([True]),
+            params=[{"note_on": True}], total=n,
+        )
+        prog = sampler.plan_sampler(tl, table, 44100.0, loop=True)
+        from zang_tpu.ops.segprog import eval_chunk
+
+        chunk_prog = {"starts": jnp.asarray(prog.starts.astype(np.int32)),
+                      **{k: jnp.asarray(v) for k, v in prog.values.items()}}
+        t_idx = jnp.arange(n, dtype=jnp.int32)
+        vals = eval_chunk(chunk_prog, t_idx)
+        ratio = np.float32(np.float32(22050.0) / np.float32(44100.0))
+        out = sampler.eval_sampler(vals, t_idx, jnp.asarray(table.data_f32),
+                                   table.num_samples, float(ratio), loop=True)
+
+        orc = OSampler(mode="parity")
+        a = np.zeros(n, dtype=np.float32)
+        osample = Sample(1, 22050, "signed16_lsb", w.data)
+        for s in range(0, n, 1024):
+            orc.paint(Span(s, s + 1024), [a], [], s == 0, {
+                "sample_rate": 44100.0, "sample": osample, "channel": 0, "loop": True,
+            })
+        np.testing.assert_array_equal(a, np.asarray(out[0]))

@@ -10,6 +10,11 @@ float32 tensors with small state pytrees. Per-sample recurrences become:
 """
 
 from . import scan  # noqa: F401
+from . import segprog  # noqa: F401
 from . import oscillators  # noqa: F401
 from . import control  # noqa: F401
 from . import filters  # noqa: F401
+from . import noise  # noqa: F401
+from . import effects  # noqa: F401
+from . import delay  # noqa: F401
+from . import sampler  # noqa: F401

@@ -1,0 +1,83 @@
+"""Distortion and Decimator kernels.
+
+Distortion (src/modules/Distortion.zig): stateless waveshaper; preserved
+expression order (gain1 = 2^(ingain*8-2), overdrive = outgain/atan(gain1)
+* atan(x*gain1 + gain1*offset), clip = outgain * clamp(x*gain1 + offs)).
+
+Decimator (src/modules/Decimator.zig): sample-and-hold at a fake sample
+rate. Parity contract: the fractional accumulator is a u32 counter (trigger
+= counter wrap), and the hold is a latch recurrence v_i = trig ? x_i :
+v_{i-1} — a first-order affine scan, no gathers.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from .scan import affine1_scan, exclusive_cumsum_u32
+
+Array = jnp.ndarray
+
+
+def distortion(
+    x: Array,
+    kind: str,
+    ingain: Union[Array, float],
+    outgain: Union[Array, float],
+    offset: Union[Array, float],
+) -> Array:
+    """kind: 'overdrive' | 'clip'."""
+    ingain = jnp.asarray(ingain, jnp.float32)
+    outgain = jnp.asarray(outgain, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    gain1 = jnp.exp2(ingain * jnp.float32(8.0) - jnp.float32(2.0))
+    offs = gain1 * offset
+    if kind == "overdrive":
+        gain2 = outgain / jnp.arctan(gain1)
+        return gain2 * jnp.arctan(x * gain1 + offs)
+    elif kind == "clip":
+        a = x * gain1 + offs
+        return outgain * jnp.clip(a, -1.0, 1.0)
+    raise ValueError(kind)
+
+
+def decimator(
+    cnt0: Array,
+    dval0: Array,
+    x: Array,
+    fake_sample_rate: Union[Array, float],
+    sample_rate: float,
+) -> Tuple[Array, Array, Array]:
+    """Sample-and-hold rate reduction over x [..., n].
+
+    cnt0: u32 accumulator state [...] (init 0xFFFFFFFF so the first sample
+    triggers, matching dcount=1.0 — Decimator.zig:17); dval0: held value.
+    fake >= sr passes through and resets state; fake <= 0 holds forever.
+    Returns (cnt_end, dval_end, out).
+    """
+    fake = jnp.asarray(fake_sample_rate, jnp.float32)
+    sr = jnp.float32(sample_rate)
+    ratio = fake / sr
+    icount = (ratio * jnp.float32(4294967296.0)).astype(jnp.uint32)
+    icount_b = jnp.broadcast_to(icount, x.shape)
+    cnt = cnt0[..., None] + exclusive_cumsum_u32(icount_b) + icount_b
+    trig = cnt < icount_b  # u32 wrap happened on this sample
+    # latch: v_i = trig ? x_i : v_{i-1}
+    a = jnp.where(trig, jnp.float32(0.0), jnp.float32(1.0))
+    u = jnp.where(trig, x, jnp.float32(0.0))
+    held = affine1_scan(a, u, dval0)
+
+    passthrough = fake >= sr
+    silent = fake <= jnp.float32(0.0)  # neither branch taken: untouched
+    out = jnp.where(passthrough, x, jnp.where(silent, jnp.float32(0.0), held))
+    cnt_end = jnp.where(
+        jnp.broadcast_to(passthrough, cnt0.shape),
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(jnp.broadcast_to(silent, cnt0.shape), cnt0, cnt[..., -1]),
+    )
+    dval_end = jnp.where(
+        jnp.broadcast_to(passthrough, dval0.shape),
+        jnp.float32(0.0),
+        jnp.where(jnp.broadcast_to(silent, dval0.shape), dval0, held[..., -1]),
+    )
+    return cnt_end, dval_end, out

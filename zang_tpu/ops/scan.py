@@ -71,6 +71,38 @@ def freq_to_ifreq(freq: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
     return jnp.where(scaled >= 0, mag, jnp.uint32(0) - mag)
 
 
+def affine1_scan(a: jnp.ndarray, u: jnp.ndarray, s0: jnp.ndarray, block: int = 512):
+    """Parallel scan of x_i = a_i * x_{i-1} + u_i (first-order recurrences).
+
+    a, u: [..., n]; s0: [...]. Returns post-states [..., n]. Used for the
+    pink-noise taps, the decimator latch, and other one-pole recurrences.
+    Same two-level decomposition as affine2_scan.
+    """
+
+    def combine(x, y):
+        a1, u1 = x
+        a2, u2 = y
+        return a2 * a1, a2 * u1 + u2
+
+    n = a.shape[-1]
+    if n % block != 0 or n <= block:
+        ai, ui = jax.lax.associative_scan(combine, (a, u), axis=a.ndim - 1)
+        return ai * s0[..., None] + ui
+    nb = n // block
+    ab = a.reshape(*a.shape[:-1], nb, block)
+    ub = u.reshape(*u.shape[:-1], nb, block)
+    ai, ui = jax.lax.associative_scan(combine, (ab, ub), axis=ab.ndim - 1)
+    sa, su = jax.lax.associative_scan(
+        combine, (ai[..., -1], ui[..., -1]), axis=ai.ndim - 2
+    )
+    bl = sa * s0[..., None] + su  # state at each block END
+    start = jnp.concatenate(
+        [jnp.broadcast_to(s0[..., None], (*bl.shape[:-1], 1)), bl[..., :-1]], axis=-1
+    )
+    post = ai * start[..., :, None] + ui
+    return post.reshape(*post.shape[:-2], n)
+
+
 def _affine2_combine(x, y):
     """Compose two affine maps s -> M s + v on 2-state systems.
 

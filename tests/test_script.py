@@ -1,0 +1,265 @@
+"""zangscript compiler + JAX backend tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from zang_tpu.core.curves import PaintCurve
+from zang_tpu.core.notes import SongEvent
+from zang_tpu.core.span import Span
+from zang_tpu.core.timeline import compile_timelines
+from zang_tpu.graph.fidelity import deviation_dbfs
+from zang_tpu.graph.render import Performance, render_performance
+from zang_tpu.script import ScriptError, compile_script
+from zang_tpu.script import printers
+from zang_tpu.script.jax_backend import ScriptInstrument
+from zang_tpu.oracle import engine as oe, modules as om
+
+SR = 44100.0
+
+VOICE_SRC = """
+Voice = defmodule
+    freq: cob,
+    note_on: boolean,
+begin
+    e = Envelope(attack=.cubed(0.05), decay=.cubed(0.1), release=.linear(0.5),
+                 sustain_volume=0.8, note_on)
+    out e * SineOsc(freq, phase=0)
+end
+"""
+
+
+def make_song(n=6, base=220.0):
+    song = []
+    for i in range(n):
+        f = float(np.float32(base * 2 ** (i / 12.0)))
+        song.append(SongEvent({"freq": f, "note_on": True}, t=i * 0.3, note_id=i + 1))
+        song.append(SongEvent({"freq": f, "note_on": False}, t=i * 0.3 + 0.2, note_id=i + 1))
+    return song
+
+
+def render_script(src, name, song, total, polyphony=1, chunk=8192):
+    cs = compile_script(src)
+    inst = ScriptInstrument(cs, name)
+    tls = compile_timelines(song, polyphony, SR, total)
+    return render_performance(Performance([(inst, tls)], SR), total, chunk_size=chunk)[0]
+
+
+class TestCompiler:
+    def test_exports_and_bytecode(self):
+        cs = compile_script(VOICE_SRC)
+        assert [em.name for em in cs.exported_modules] == ["Voice"]
+        mr = cs.codegen_result.module_results[cs.find_module("Voice")]
+        assert not mr.is_builtin
+        assert mr.num_temps >= 2
+        assert [f.module_index for f in mr.fields]  # envelope + sine fields
+
+    def test_diagnostics(self):
+        cases = [
+            ("M = defmodule x: cob, begin out y end", "undeclared identifier"),
+            ("M = defmodule x: nosuchtype, begin out 1 end", "param type"),
+            ("M = defmodule begin out Envelope(note_on=true) end",
+             "missing param"),
+            ("M = defmodule begin out SineOsc(freq=0, phase=0, freq=1) end",
+             "more than once"),
+            ("M = defmodule begin out feedback end", "within a `delay`"),
+            ("M = M2", "undeclared"),
+            ("pi = 3", "reserved"),
+            ("M = defmodule begin out 1 end\nM = defmodule begin out 2 end",
+             "redeclaration"),
+        ]
+        for src, needle in cases:
+            with pytest.raises(ScriptError) as exc_info:
+                compile_script(src)
+            assert needle in str(exc_info.value), (src, str(exc_info.value))
+
+    def test_global_out_of_order_and_cycles(self):
+        # forward reference works
+        cs = compile_script("A = defmodule begin out B() end\nB = defmodule begin out 1 end")
+        assert len(cs.exported_modules) == 2
+        with pytest.raises(ScriptError, match="circular"):
+            compile_script("A = B\nB = A")
+
+    def test_dumps(self):
+        cs = compile_script(VOICE_SRC)
+        p = printers.dump_parse(cs)
+        c = printers.dump_codegen(cs)
+        assert "module#" in p and "call" in p
+        assert "Voice" in c and "call field" in c
+        assert "Envelope" in printers.dump_builtins()
+
+    def test_shorthand_and_precedence(self):
+        # `note_on` shorthand, operator precedence 1*2+3 = (1*2)+3
+        cs = compile_script("""
+M = defmodule note_on: boolean, begin
+    out Gate(note_on) * 2 + 1
+end
+""")
+        mr = cs.codegen_result.module_results[cs.find_module("M")]
+        ops = [i.op for i in mr.instructions]
+        assert "call" in ops
+
+
+class TestBackend:
+    def test_env_sine_vs_oracle(self):
+        song = make_song()
+        total = int(2.5 * SR)
+        mix = render_script(VOICE_SRC, "Voice", song, total, polyphony=2)
+
+        class OracleVoice:
+            num_outputs, num_temps = 1, 2
+
+            def __init__(self):
+                self.env = om.Envelope()
+                self.osc = om.SineOsc(mode="parity")
+
+            def paint(self, span, outputs, temps, nic, params):
+                sl = slice(span.start, span.end)
+                temps[0][sl] = 0.0
+                temps[1][sl] = 0.0
+                self.env.paint(span, [temps[0]], [], nic, {
+                    "sample_rate": params["sample_rate"],
+                    "attack": PaintCurve.cubed(0.05),
+                    "decay": PaintCurve.cubed(0.1),
+                    "release": PaintCurve.linear(0.5),
+                    "sustain_volume": 0.8, "note_on": params["note_on"]})
+                self.osc.paint(span, [temps[1]], [], nic, {
+                    "sample_rate": params["sample_rate"],
+                    "freq": params["freq"], "phase": 0.0})
+                outputs[0][sl] += temps[0][sl] * temps[1][sl]
+
+        v = oe.Voice(song, 2, OracleVoice,
+                     lambda sr, p: {"sample_rate": sr, "freq": p["freq"],
+                                    "note_on": p["note_on"]})
+        a = oe.render_blocks(lambda s, o, t: v.paint(s, SR, o, t), total,
+                             num_temps=2)[0]
+        dev = deviation_dbfs(a, mix)
+        print(f"\nscript env*sine: rms {dev[0]:.1f} dBFS")
+        assert dev[0] < -90.0, dev
+
+    def test_delay_feedback_tail(self):
+        src = """
+E = defmodule freq: cob, note_on: boolean, begin
+    dry = Gate(note_on) * PulseOsc(freq, color=0.5) * 0.3
+    out delay 2048 begin
+        result = dry + feedback * 0.6
+        out result
+        feedback Filter(input=result, type=.low_pass, cutoff=0.4, res=0)
+    end
+end
+"""
+        song = [SongEvent({"freq": 440.0, "note_on": True}, t=0.0, note_id=1),
+                SongEvent({"freq": 440.0, "note_on": False}, t=0.1, note_id=1)]
+        total = int(1.0 * SR)
+        mix = render_script(src, "E", song, total)
+        note_end = int(0.1 * SR)
+        # echo repeats every 2048 samples after the burst, decaying by 0.6x
+        tail = np.abs(mix[note_end + 1024:]).max()
+        assert tail > 1e-3, "echo tail missing"
+        e1 = np.abs(mix[2048 + 512: 4096]).max()
+        e2 = np.abs(mix[4096 + 512: 6144]).max()
+        assert e2 < e1  # decaying
+
+    def test_track_call_pattern(self):
+        src = """
+Coin = defmodule freq: cob, note_on: boolean, begin
+    base_freq = freq
+    out from deftrack f: constant, gate: boolean, begin
+        0.0 (f=750, gate=true)
+        0.045 (f=1000, gate=true)
+        0.09 (f=1000, gate=false)
+    end, 1 begin
+        out Gate(note_on=gate) * SineOsc(freq=base_freq * (f / 1000), phase=0) * 0.5
+    end
+end
+"""
+        song = [SongEvent({"freq": 440.0, "note_on": True}, t=0.0, note_id=1),
+                SongEvent({"freq": 440.0, "note_on": False}, t=0.3, note_id=1)]
+        total = int(0.5 * SR)
+        mix = render_script(src, "Coin", song, total)
+        assert np.abs(mix[: int(0.045 * SR)]).max() > 0.2
+        assert np.abs(mix[int(0.05 * SR): int(0.085 * SR)]).max() > 0.2
+        # silent after gate-off
+        assert np.abs(mix[int(0.1 * SR): int(0.25 * SR)]).max() < 1e-5
+
+    def test_curve_player(self):
+        src = """
+CP = defmodule freq_mul: constant, note_on: boolean, begin
+    out SineOsc(freq = freq_mul * Curve(curve=defcurve
+        0.0 440.0
+        0.5 880.0
+        1.0 110.0
+    end, function=.smoothstep), phase=0) * 0.5
+end
+"""
+        song = [SongEvent({"freq_mul": 1.0, "note_on": True}, t=0.0, note_id=1)]
+        total = int(1.2 * SR)
+        cs = compile_script(src)
+        inst = ScriptInstrument(cs, "CP")
+        tls = compile_timelines(song, 1, SR, total)
+        mix = render_performance(Performance([(inst, tls)], SR), total,
+                                 chunk_size=8192)[0]
+        assert np.abs(mix[: int(0.9 * SR)]).max() > 0.3
+        # after the last curve node the curve outputs 0 -> frequency 0 ->
+        # the sine freezes at a constant DC value (reference behavior too)
+        tail = mix[int(1.05 * SR):]
+        assert np.std(tail) < 1e-6
+
+
+class TestZangcCLI:
+    def test_cli_compile_and_dumps(self, tmp_path):
+        from zang_tpu.script.zangc import main
+
+        script = tmp_path / "test.txt"
+        script.write_text(VOICE_SRC)
+        out_py = tmp_path / "gen.py"
+        rc = main([str(script), "-o", str(out_py),
+                   "--dump-parse", str(tmp_path / "p.txt"),
+                   "--dump-codegen", str(tmp_path / "c.txt"),
+                   "--dump-builtins", str(tmp_path / "b.txt")])
+        assert rc == 0
+        assert "Voice" in (tmp_path / "c.txt").read_text()
+        # generated module round-trips
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("genmod", out_py)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.EXPORTED_MODULES == ["Voice"]
+        inst = mod.make_instrument("Voice")
+        assert inst.module_name == "Voice"
+
+    def test_cli_error_exit(self, tmp_path, capsys):
+        from zang_tpu.script.zangc import main
+
+        script = tmp_path / "bad.txt"
+        script.write_text("M = defmodule begin out nosuch end")
+        rc = main([str(script)])
+        assert rc == 1
+        assert "undeclared" in capsys.readouterr().err
+
+
+REFERENCE_SCRIPT = "/root/reference/examples/script.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCRIPT),
+                    reason="reference fixture not available")
+class TestReferenceScript:
+    def test_compiles(self):
+        with open(REFERENCE_SCRIPT) as f:
+            cs = compile_script(f.read(), filename=REFERENCE_SCRIPT)
+        names = [em.name for em in cs.exported_modules]
+        assert "DemoPlayer" in names and "CurvePlayer" in names
+
+    def test_demo_player_renders(self):
+        with open(REFERENCE_SCRIPT) as f:
+            cs = compile_script(f.read(), filename=REFERENCE_SCRIPT)
+        inst = ScriptInstrument(cs, "DemoPlayer")
+        song = make_song(3)
+        total = int(1.5 * SR)
+        tls = compile_timelines(song, 1, SR, total)
+        mix = render_performance(Performance([(inst, tls)], SR), total,
+                                 chunk_size=8192)[0]
+        assert np.isfinite(mix).all()
+        assert np.abs(mix).max() > 0.01

@@ -31,7 +31,7 @@ def _plan_envelope(timelines, sample_rate, env_const, prog):
     segs = [
         control.compile_envelope(
             tl, sample_rate,
-            lambda p: {**env_const, "note_on": bool(p["note_on"])},
+            lambda k, p: {**env_const, "note_on": bool(p["note_on"])},
         )
         for tl in timelines
     ]

@@ -31,7 +31,7 @@ from .segprog import SegProgram
 
 F32 = np.float32
 
-SHAPE_CONST, SHAPE_LINEAR, SHAPE_SQUARED, SHAPE_CUBED = 0, 1, 2, 3
+SHAPE_CONST, SHAPE_LINEAR, SHAPE_SQUARED, SHAPE_CUBED, SHAPE_SMOOTHSTEP = 0, 1, 2, 3, 4
 _SHAPE_ID = {"linear": SHAPE_LINEAR, "squared": SHAPE_SQUARED, "cubed": SHAPE_CUBED}
 
 # cap on a single paint table (samples); the reference's envelopes are <= a
@@ -47,7 +47,10 @@ def _paint_table_cached(kind: str, dur_bits: int, sr_bits: int, t0_bits: int):
     t_step = F32(F32(1.0) / F32(duration * sr))
     # f32-exact sequential accumulation: t_k = fl(t_{k-1} + t_step), starting
     # from t0, painted while t < 1 (the crossing sample paints with t = 1).
-    est = int(np.ceil((1.0 - float(t0)) / max(float(t_step), 1e-30))) + 4
+    # generous margin: f32 accumulation can run slightly slow of the exact
+    # rational count (rounding bias), so the crossing may land past the
+    # nominal duration*sr step count
+    est = int(np.ceil((1.0 - float(t0)) / max(float(t_step), 1e-30)) * 1.02) + 16
     if est > MAX_TABLE:
         raise ValueError(f"paint table too long ({est} samples)")
     steps = np.full(est + 1, t_step, dtype=np.float32)
@@ -138,7 +141,11 @@ def eval_painter(vals: dict, t_idx: jnp.ndarray) -> jnp.ndarray:
             jnp.where(
                 shape == SHAPE_CUBED,
                 jnp.float32(1.0) - it * it * it,
-                jnp.float32(1.0),
+                jnp.where(
+                    shape == SHAPE_SMOOTHSTEP,
+                    t * t * (jnp.float32(3.0) - jnp.float32(2.0) * t),
+                    jnp.float32(1.0),
+                ),
             ),
         ),
     )
@@ -235,12 +242,12 @@ IDLE, ATTACK, DECAY, SUSTAIN, RELEASE = range(5)
 def compile_envelope(
     tl: SubvoiceTimeline,
     sample_rate: float,
-    env_params_fn: Callable[[dict], dict],
+    env_params_fn: Callable[[int, dict], dict],
 ) -> List[Seg]:
     """Compile one subvoice's envelope into program segments.
 
-    env_params_fn(note_params) -> dict with keys attack, decay, release
-    (PaintCurve), sustain_volume (float), note_on (bool).
+    env_params_fn(segment_index, note_params) -> dict with keys attack, decay,
+    release (PaintCurve), sustain_volume (float), note_on (bool).
     """
     w = _PainterWalk(sample_rate)
     state = IDLE
@@ -256,7 +263,7 @@ def compile_envelope(
         e = int(tl.starts[k + 1]) if k + 1 < len(tl.starts) else tl.total
         if e <= s:
             continue
-        p = env_params_fn(tl.params[k])
+        p = env_params_fn(k, tl.params[k])
         reset = bool(tl.resets[k])
         pos = s
         if p["note_on"]:
@@ -300,10 +307,10 @@ def compile_envelope(
 def compile_portamento(
     tl: SubvoiceTimeline,
     sample_rate: float,
-    porta_params_fn: Callable[[dict], dict],
+    porta_params_fn: Callable[[int, dict], dict],
 ) -> List[Seg]:
-    """porta_params_fn(note_params) -> dict with curve (PaintCurve), goal,
-    note_on, prev_note_on."""
+    """porta_params_fn(segment_index, note_params) -> dict with curve
+    (PaintCurve), goal, note_on, prev_note_on."""
     w = _PainterWalk(sample_rate)
     w.emit_const(0, 0.0)
     for k in range(len(tl.starts)):
@@ -311,7 +318,7 @@ def compile_portamento(
         e = int(tl.starts[k + 1]) if k + 1 < len(tl.starts) else tl.total
         if e <= s:
             continue
-        p = porta_params_fn(tl.params[k])
+        p = porta_params_fn(k, tl.params[k])
         reset = bool(tl.resets[k])
         if p["note_on"] and p.get("prev_note_on", False):
             curve = p["curve"]
@@ -339,3 +346,128 @@ def compile_gate(tl: SubvoiceTimeline, gate_fn=None) -> List[Seg]:
             continue
         segs.append((s, v, 0.0, 0.0, 0.0, SHAPE_CONST))
     return segs
+
+
+# ---------------------------------------------------------------------------
+# Curve compiler (src/modules/Curve.zig): interpolated curve playback.
+
+
+def compile_curve(
+    tl: SubvoiceTimeline,
+    points,
+    function: str,
+    sample_rate: float,
+    block_size: int = 1024,
+) -> List[Seg]:
+    """Compile one subvoice's Curve playback into painter segments.
+
+    points: [(t_seconds, value)]. function: 'linear' | 'smoothstep'.
+    Replicates the reference's per-block node placement (f32 clock, relative
+    frames — Curve.zig:126-176) and resets on note_id_changed; interpolation
+    maps onto painter segments (linear -> SHAPE_LINEAR with t = x, smoothstep
+    -> SHAPE_SMOOTHSTEP), within ~1 ulp of the reference's accumulation.
+    """
+    shape_id = SHAPE_LINEAR if function == "linear" else SHAPE_SMOOTHSTEP
+    total = tl.total
+    segs: List[Seg] = [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)]
+
+    # module state (reset on note_id_changed)
+    t = F32(0.0)
+    current_song_note = 0
+    current_song_note_offset = 0
+    next_song_note = 0
+
+    reset_frames = {int(s): bool(r) for s, r in zip(tl.starts, tl.resets)}
+    first_active = tl.first_active
+
+    def emit_const(s, v):
+        if not segs or segs[-1][1] != v or segs[-1][2] != 0.0:
+            segs.append((s, float(v), 0.0, 0.0, 0.0, SHAPE_CONST))
+
+    block_start = 0
+    while block_start < total:
+        out_len = min(block_size, total - block_start)
+        # reset check: note_id_changed at any timeline segment starting in
+        # this block resets the cursor at that segment's start; the reference
+        # resets at paint-call granularity (block∩segment spans). We walk
+        # spans within the block.
+        span_bounds = [block_start]
+        for s0 in sorted(reset_frames):
+            if block_start < s0 < block_start + out_len:
+                span_bounds.append(int(s0))
+        span_bounds.append(block_start + out_len)
+        for si in range(len(span_bounds) - 1):
+            s0, s1 = span_bounds[si], span_bounds[si + 1]
+            if s1 <= s0:
+                continue
+            if s0 < first_active:
+                emit_const(s0, 0.0)
+                continue
+            if reset_frames.get(s0, False):
+                t = F32(0.0)
+                current_song_note = 0
+                current_song_note_offset = 0
+                next_song_note = 0
+            out_len_span = s1 - s0
+            # getCurveSpanNodes (Curve.zig:126-176)
+            nodes = []
+            buf_time = F32(F32(out_len_span) / F32(sample_rate))
+            end_t = F32(t + buf_time)
+            if current_song_note < next_song_note:
+                nodes.append((current_song_note_offset, points[current_song_note][1]))
+            one_past = False
+            for idx in range(next_song_note, len(points)):
+                note_t = F32(points[idx][0])
+                if note_t >= end_t:
+                    if not one_past:
+                        one_past = True
+                    else:
+                        break
+                f = F32(F32(note_t - t) / buf_time)
+                rel = int(F32(f * F32(out_len_span)))
+                if nodes and nodes[-1][0] == rel:
+                    nodes.pop()
+                nodes.append((rel, points[idx][1]))
+                if not one_past:
+                    current_song_note = next_song_note
+                    current_song_note_offset = 0
+                    next_song_note += 1
+            t = F32(t + buf_time)
+            current_song_note_offset -= out_len_span
+
+            # getNextCurveSpan (Curve.zig:180-238) -> painter segments
+            start = 0
+            while start < out_len_span:
+                cs = _next_curve_span(nodes, start, out_len_span)
+                cs_start, cs_end, values = cs
+                if values is None:
+                    emit_const(s0 + cs_start, 0.0)
+                else:
+                    (f0, v0), (f1, v1) = values
+                    start_x = F32(F32(cs_start - f0) / F32(f1 - f0))
+                    delta = F32(F32(v1) - F32(v0))
+                    x_step = F32(F32(1.0) / F32(f1 - f0))
+                    segs.append((
+                        s0 + cs_start, float(F32(v0)), float(delta),
+                        float(x_step), float(F32(start_x - x_step)), shape_id,
+                    ))
+                start = cs_end
+        block_start += out_len
+    return segs
+
+
+def _next_curve_span(nodes, dest_start, dest_end):
+    """Curve.zig:180-238."""
+    for i, (start_pos, value) in enumerate(nodes):
+        if start_pos >= dest_end:
+            break
+        end_pos = min(dest_end, nodes[i + 1][0]) if i < len(nodes) - 1 else dest_end
+        if end_pos <= dest_start:
+            continue
+        note_start_clipped = start_pos if start_pos > dest_start else dest_start
+        if note_start_clipped > dest_start:
+            return dest_start, note_start_clipped, None
+        note_end_clipped = min(end_pos, dest_end)
+        values = (nodes[i], nodes[i + 1]) if i < len(nodes) - 1 else None
+        return note_start_clipped, note_end_clipped, values
+    return dest_start, dest_end, None

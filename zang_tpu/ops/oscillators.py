@@ -42,7 +42,8 @@ def _advance(cnt0: Array, ifreq: Array) -> Tuple[Array, Array]:
 # state — oscillators become pure gathers + elementwise math.
 
 
-def plan_phase_segments(timelines, freq_fn, sample_rate: float, guard_div8: bool = False):
+def plan_phase_segments(timelines, freq_fn, sample_rate: float, guard_div8: bool = False,
+                        freqs_override=None):
     """Host: compile note-constant frequencies into a phase SegProgram.
 
     Values per segment: ifreq (u32 increment), A = cnt0 - start*ifreq (u32,
@@ -69,7 +70,10 @@ def plan_phase_segments(timelines, freq_fn, sample_rate: float, guard_div8: bool
             if k == 0:
                 continue
             starts[v, :k] = tl.starts
-            freqs = tl.param_f32(freq_fn)
+            if freqs_override is not None:
+                freqs = np.asarray(freqs_override[v, :k], dtype=np.float32)
+            else:
+                freqs = tl.param_f32(freq_fn)
             scaled = srbase * freqs
             mag = np.abs(scaled).astype(np.uint32)
             inc = np.where(scaled >= 0, mag, np.uint32(0) - mag)

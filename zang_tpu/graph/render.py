@@ -117,24 +117,37 @@ class Performance:
         return prog
 
     def render_chunk(self, state, chunk_progs, ctx: RenderCtx):
-        """chunk_progs: per-part program dicts with chunk-local seg slices."""
+        """chunk_progs: per-part program dicts with chunk-local seg slices.
+
+        Instruments normally return [V, n] (voices summed into the mono mix).
+        An instrument with `output_channels = C` returns [C, n] pre-mixed
+        multichannel audio instead (e.g. a stereo panner).
+        """
         states, post_state = state
         mix = jnp.zeros((ctx.n,), jnp.float32)
+        multi = jnp.zeros((self.num_channels, ctx.n), jnp.float32)
         new_states = []
         for (inst, _), static_prog, xs_chunk, st in zip(
             self.parts, self.programs, chunk_progs, states
         ):
             prog = self.merge_chunk(static_prog, xs_chunk)
             st2, audio = inst.render(st, prog, ctx)
-            if audio.ndim == 2:  # [V, n] -> sum voices
+            channels = getattr(inst, "output_channels", None)
+            if channels is not None:
+                multi = multi + audio
+            elif audio.ndim == 2:  # [V, n] -> sum voices
                 mix = mix + jnp.sum(audio, axis=0)
             else:
                 mix = mix + audio
             new_states.append(st2)
         if self.post_fn is not None:
             post_state, out = self.post_fn(post_state, mix, ctx)
+            out = out + multi if out.shape == multi.shape else out
+        elif self.num_channels == 1:
+            out = mix[None, :] + multi
         else:
-            out = mix[None, :] if self.num_channels == 1 else mix
+            # mono contributions go to every channel (center)
+            out = multi + mix[None, :]
         return (new_states, post_state), out
 
 

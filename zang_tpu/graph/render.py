@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.timeline import SubvoiceTimeline
-from ..ops.segprog import ChunkedSegProgram, SegProgram, chunkify
+from ..ops.segprog import ChunkedSegProgram, SegProgram, chunkify, chunkify_tiled
 
 
 @dataclass(frozen=True)
@@ -81,15 +81,19 @@ class Performance:
         post_state = self.post_init_state() if self.post_init_state else ()
         return (states, post_state)
 
-    def chunk_xs(self, total_frames: int, chunk_size: int):
+    def chunk_xs(self, total_frames: int, chunk_size: int, tile: int = 512):
         """Host: per-chunk slices of every SegProgram, stacked for lax.scan.
 
-        Non-SegProgram leaves become () (no scan xs); render merges them
-        back from the statically captured programs.
+        Programs are sliced at tile granularity (ops.segprog.chunkify_tiled):
+        the device then does O(boundaries-per-tile) selects per sample
+        instead of O(K_chunk) masked sums. Non-SegProgram leaves become ()
+        (no scan xs); render merges them back from the captured programs.
         """
         n_chunks = -(-total_frames // chunk_size)
 
         def conv(sp: SegProgram):
+            if chunk_size % tile == 0 and chunk_size >= tile:
+                return chunkify_tiled(sp, chunk_size, n_chunks, total_frames, tile)
             ch = chunkify(sp, chunk_size, n_chunks, total_frames)
             return {"starts": ch.starts, **ch.values}
 

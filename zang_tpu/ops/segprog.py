@@ -77,8 +77,84 @@ def chunkify(sp: SegProgram, chunk_size: int, n_chunks: int, total: int) -> Chun
 def eval_chunk(chunk_prog: dict, t_idx: jnp.ndarray) -> dict:
     """Device: evaluate one chunk's program slice at t_idx [n] -> {name: [V, n]}.
 
-    chunk_prog: {"starts": [V, Kc] i32, "<name>": [V, Kc], ...} (device arrays,
-    typically a lax.scan xs slice).
+    Two formats:
+    - flat:  {"starts": [V, Kc] i32, name: [V, Kc], ...} -> pconst delta sums
+    - tiled: {"tb": [V, nt, S] i32, name: [V, nt, S], ...} -> per-tile selects
+      (t_idx must be one whole chunk, tile-aligned — the renderer's case)
     """
+    if "tb" in chunk_prog:
+        return eval_tiled_chunk(chunk_prog, t_idx)
     values = {k: v for k, v in chunk_prog.items() if k != "starts"}
     return pconst_multi(chunk_prog["starts"], values, t_idx)
+
+
+def chunkify_tiled(
+    sp: SegProgram, chunk_size: int, n_chunks: int, total: int, tile: int = 512
+) -> dict:
+    """Tile-program slicing: per (chunk, voice, tile), the segment covering
+    the tile start plus all segments starting inside the tile.
+
+    Device work becomes O(S) selects per sample (S = 1 + max in-tile
+    boundary count — typically 2-4) instead of O(K_chunk) delta sums.
+    Returns {"tb": [nc, V, nt, S] i32 (boundary starts; slot 0 always
+    active), name: [nc, V, nt, S], ...}.
+    """
+    assert chunk_size % tile == 0
+    V, K = sp.starts.shape
+    nt = chunk_size // tile
+    tile_starts = (
+        np.arange(n_chunks, dtype=np.int64)[:, None] * chunk_size
+        + np.arange(nt, dtype=np.int64)[None, :] * tile
+    ).reshape(-1)  # [nc * nt]
+    firsts = np.empty((V, tile_starts.size), dtype=np.int64)
+    lasts = np.empty((V, tile_starts.size), dtype=np.int64)
+    for v in range(V):
+        s = sp.starts[v]
+        firsts[v] = np.maximum(np.searchsorted(s, tile_starts, side="right") - 1, 0)
+        lasts[v] = np.searchsorted(s, tile_starts + tile, side="left")
+    counts = np.maximum(lasts - firsts, 1)
+    S = int(counts.max())
+    idx = firsts[:, :, None] + np.arange(S)[None, None, :]  # [V, nc*nt, S]
+    in_window = idx < lasts[:, :, None]
+    idx_v = np.minimum(np.maximum(np.minimum(idx, lasts[:, :, None] - 1), 0), K - 1)
+    tb = np.where(
+        in_window,
+        np.take_along_axis(
+            np.broadcast_to(sp.starts[:, None, :], (V, tile_starts.size, K)),
+            np.minimum(idx, K - 1), axis=2,
+        ),
+        np.int64(total) + 1,
+    )
+    # slot 0 covers the tile start: force its boundary to "always active"
+    tb[:, :, 0] = -(2 ** 31)
+    out = {
+        "tb": tb.reshape(V, n_chunks, nt, S).swapaxes(0, 1).astype(np.int32)
+    }
+    for name, arr in sp.values.items():
+        vals = np.take_along_axis(
+            np.broadcast_to(arr[:, None, :], (V, tile_starts.size, K)), idx_v, axis=2
+        )
+        out[name] = np.ascontiguousarray(
+            vals.reshape(V, n_chunks, nt, S).swapaxes(0, 1)
+        )
+    return out
+
+
+def eval_tiled_chunk(chunk_prog: dict, t_idx: jnp.ndarray) -> dict:
+    """Evaluate a tiled chunk slice ({"tb": [V, nt, S], ...}) over one whole
+    chunk (t_idx [n], tile-aligned). Returns {name: [V, n]}."""
+    tb = chunk_prog["tb"]
+    V, nt, S = tb.shape
+    n = t_idx.shape[0]
+    tile = n // nt
+    t = t_idx.reshape(nt, tile)  # [nt, tile]
+    values = {k: v for k, v in chunk_prog.items() if k != "tb"}
+    out = {
+        name: jnp.broadcast_to(v[:, :, 0:1], (V, nt, tile))
+        for name, v in values.items()
+    }
+    for j in range(1, S):
+        mask = t[None, :, :] >= tb[:, :, j][:, :, None]  # [V, nt, tile]
+        for name, v in values.items():
+            out[name] = jnp.where(mask, v[:, :, j][:, :, None], out[name])
+    return {name: o.reshape(V, n) for name, o in out.items()}

@@ -1,0 +1,131 @@
+"""Aux subsystems: visualizer data, recorder, parameters, reload watcher."""
+
+import os
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from zang_tpu.host.visual import (
+    Visuals, fft_radix2, oscilloscope_frame, spectrum_frame, waveform_frame,
+)
+from zang_tpu.host.interaction import (
+    MAX_RECORDER_NOTES, Parameter, Recorder, ReloadWatcher,
+)
+
+
+class TestFFT:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(512)
+        re, im = x.copy(), np.zeros(512)
+        fft_radix2(re, im)
+        ref = np.fft.fft(x)
+        np.testing.assert_allclose(re, ref.real, atol=1e-9)
+        np.testing.assert_allclose(im, ref.imag, atol=1e-9)
+
+    def test_spectrum_peak_at_tone(self):
+        sr = 48000.0
+        n = 512
+        f = sr / n * 32  # exactly bin 32
+        x = np.sin(2 * np.pi * f * np.arange(n) / sr)
+        mag = spectrum_frame(x, n, log_scale=False)
+        assert np.argmax(mag) == 32
+
+
+class TestVisualFrames:
+    def test_waveform_envelope(self):
+        x = np.linspace(-1, 1, 1024).astype(np.float32)
+        w = waveform_frame(x, width=64)
+        assert w.shape == (64, 2)
+        assert np.all(w[:, 0] <= w[:, 1])
+        assert w[0, 0] == pytest.approx(-1.0, abs=1e-3)
+        assert w[-1, 1] == pytest.approx(1.0, abs=1e-3)
+
+    def test_oscilloscope_sync(self):
+        sr = 48000.0
+        f = 440.0
+        x = np.sin(2 * np.pi * f * np.arange(2048) / sr).astype(np.float32)
+        frame = oscilloscope_frame(x, f, sr, width=128)
+        assert frame.shape == (128,)
+        # one synced period: starts near zero going up, ends near zero
+        assert abs(frame[0]) < 0.1
+        assert frame[5] > frame[0]
+
+    def test_streaming_frames(self):
+        sr = 48000.0
+        audio = np.sin(2 * np.pi * 440 * np.arange(4096) / sr).astype(np.float32)
+        frames = list(Visuals(sr).frames(audio))
+        assert len(frames) == 4
+        assert all("spectrum" in f and "waveform" in f for f in frames)
+
+
+class TestParameter:
+    def test_step_clamps(self):
+        p = Parameter("x", num_values=4, current_value=2)
+        assert p.step(+5) == 3
+        assert p.step(-10) == 0
+
+    def test_randomize_favor_low(self):
+        rng = np.random.default_rng(0)
+        lo = Parameter("x", num_values=64, favor_low_values=True)
+        hi = Parameter("x", num_values=64)
+        lows = [lo.randomize(rng) for _ in range(200)]
+        his = [hi.randomize(rng) for _ in range(200)]
+        assert np.mean(lows) < np.mean(his)
+
+
+class TestRecorder:
+    def test_record_and_loop(self):
+        r = Recorder()
+        r.start_recording(10.0)
+        r.record_event(10.0, key=5, down=True)
+        r.record_event(10.5, key=5, down=False)
+        r.start_playing(20.0, loop_length=1.0)
+        assert r.poll(20.0) == [(5, True)]
+        assert r.poll(20.5) == [(5, False)]
+        # loops
+        assert r.poll(21.05) == [(5, True)]
+
+    def test_capacity(self):
+        r = Recorder()
+        r.start_recording(0.0)
+        for i in range(MAX_RECORDER_NOTES + 10):
+            r.record_event(i * 0.001, key=1, down=True)
+        assert len(r.events) == MAX_RECORDER_NOTES
+
+
+class TestReloadWatcher:
+    def test_file_watch_and_udp(self, tmp_path):
+        from zang_tpu.script.runtime import LiveScript
+
+        script = tmp_path / "live.txt"
+        script.write_text(
+            "M = defmodule freq: cob, note_on: boolean, begin out SineOsc(freq, phase=0) end")
+        ls = LiveScript(str(script), "M")
+        watcher = ReloadWatcher(ls, udp_port=0)
+        # file change triggers reload
+        script.write_text(script.read_text() + "\n// changed\n")
+        os.utime(script, (time.time() + 5, time.time() + 5))
+        assert watcher.poll() is True
+        # UDP reload message
+        watcher.udp_port = _free_port()
+        watcher.start_udp()
+        before = watcher.reload_count
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.sendto(b"reload", ("127.0.0.1", watcher.udp_port))
+        deadline = time.time() + 3.0
+        while watcher.reload_count == before and time.time() < deadline:
+            time.sleep(0.05)
+        watcher.close()
+        sock.close()
+        assert watcher.reload_count == before + 1
+
+
+def _free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port

@@ -177,3 +177,35 @@ class TestSampler:
                 "sample_rate": 44100.0, "sample": osample, "channel": 0, "loop": True,
             })
         np.testing.assert_array_equal(a, np.asarray(out[0]))
+
+
+class TestPallasFM:
+    def test_interpret_matches_scan(self):
+        import jax.numpy as jnp
+        from zang_tpu.ops.pallas_fm import fm_feedback_pallas
+
+        V, n = 4, 2048
+        rng = np.random.default_rng(9)
+        t = np.cumsum(np.full((V, n), 440.0 / 48000.0, np.float32), axis=1,
+                      dtype=np.float32)
+        base = (t * np.float32(2 * np.pi)).astype(np.float32)
+        fb1 = rng.standard_normal(V).astype(np.float32) * 0.1
+        fb2 = rng.standard_normal(V).astype(np.float32) * 0.1
+        feedback = np.float32(np.pi / 4)
+
+        # sequential numpy reference
+        ref = np.empty_like(base)
+        f1, f2 = fb1.copy(), fb2.copy()
+        for i in range(n):
+            p = base[:, i] + (f1 + f2) * feedback
+            s = np.sin(p, dtype=np.float32)
+            ref[:, i] = s
+            f2, f1 = f1, s
+
+        out, nf1, nf2 = fm_feedback_pallas(
+            jnp.asarray(base), feedback, 0, jnp.asarray(fb1), jnp.asarray(fb2),
+            interpret=True)
+        # feedback recurrences amplify sin ulp differences; on identical sin
+        # implementations (interpret mode) this is tight
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(nf1), f1, atol=2e-4)

@@ -79,16 +79,25 @@ def fm_osc(
         new_fb2 = out[..., -2] if out.shape[-1] >= 2 else fb1
         return cnt_end, (new_fb1, new_fb2), out
 
-    # sequential feedback path
-    def step(carry, b):
-        f1, f2 = carry
-        p = b + (f1 + f2) * fb
-        sample = _shape_wave(p, waveform)
-        return (sample, f1), sample
+    # sequential feedback path: Pallas kernel on TPU (the loop stays on-chip
+    # with voices in lanes; far faster to compile than a 65k-step scan and
+    # comparable at runtime), lax.scan elsewhere.
+    if jax.default_backend() not in ("cpu",) and base.ndim == 2 and isinstance(
+        waveform, (int, float)
+    ):
+        from .pallas_fm import fm_feedback_pallas
 
-    base_t = jnp.moveaxis(base, -1, 0)  # [n, ...]
-    (f1, f2), out_t = jax.lax.scan(step, (fb1, fb2), base_t)
-    out = jnp.moveaxis(out_t, 0, -1)
+        out, f1, f2 = fm_feedback_pallas(base, fb, int(waveform), fb1, fb2)
+    else:
+        def step(carry, b):
+            c1, c2 = carry
+            p = b + (c1 + c2) * fb
+            sample = _shape_wave(p, waveform)
+            return (sample, c1), sample
+
+        base_t = jnp.moveaxis(base, -1, 0)  # [n, ...]
+        (f1, f2), out_t = jax.lax.scan(step, (fb1, fb2), base_t)
+        out = jnp.moveaxis(out_t, 0, -1)
     if active is not None:
         out = jnp.where(active, out, 0.0)
     return cnt_end, (f1, f2), out

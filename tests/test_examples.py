@@ -57,6 +57,25 @@ class TestSemantics:
                  for i in range(3, 14)]
         assert max(rates) > min(rates) + 5
 
+    def test_delay_echo_is_stereo_and_repeats(self):
+        a, sr = EXAMPLES["delay"](seconds=4.0)
+        a = np.asarray(a)
+        assert a.shape[0] == 2
+        # left = dry + echoed, right = dry + mirrored: channels differ
+        assert not np.allclose(a[0], a[1])
+        # energy persists after the last note-off (echo tail)
+        tail = a[:, int(3.5 * sr):]
+        assert np.abs(tail).max() > 1e-3
+
+    def test_script_runtime_reload_changes_timbre(self):
+        a, sr = EXAMPLES["script_runtime"](seconds=4.0)
+        x = np.asarray(a)[0]
+        half = x.shape[0] // 2
+        s0 = np.abs(np.fft.rfft(x[:half]))
+        s1 = np.abs(np.fft.rfft(x[half:]))
+        # the reloaded script (color 0.3 -> 0.5) shifts the spectrum
+        assert np.corrcoef(s0, s1)[0, 1] < 0.995
+
     def test_fmsynth_feedback_changes_timbre(self):
         from zang_tpu.host.examples import FMSynthInstrument, _render_parts, _simple_song
         from zang_tpu.core.timeline import compile_timelines

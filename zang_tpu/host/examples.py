@@ -13,6 +13,7 @@ JAX backend — the rest compose the ops library directly.
 Run: python -m zang_tpu.host.examples <name> out.wav [--seconds N]
 """
 
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -738,6 +739,159 @@ def ex_fmsynth(seconds=4.0):
 
 
 # ---------------------------------------------------------------------------
+# example_sampler (examples/example_sampler.zig): looped drumloop playback
+# through overdrive + decimator. The r/speed keyboard controls become config
+# arguments of the shared SamplerInstrument (host/configs.py).
+
+
+def ex_sampler(seconds=6.0):
+    from .configs import build_sampler_performance
+
+    perf, total = build_sampler_performance(seconds=seconds)
+    return render_performance(perf, total, chunk_size=16384), perf.sample_rate
+
+
+# ---------------------------------------------------------------------------
+# example_polyphony2 (examples/example_polyphony2.zig): NiceInstrument(0.3)
+# behind a 3-slot PolyphonyDispatcher. The scripted song holds 5-note
+# overlap so slot recycling + voice stealing (notes.zig:246-306) is
+# exercised, not just round-robin.
+
+
+def ex_polyphony2(seconds=6.0):
+    sr = 48000.0
+    a4 = 220.0
+    total = int(seconds * sr)
+    song = _simple_song([
+        (0.2 + 0.25 * i, 1.2, a4 * tt.rel_freq(n))
+        for i, n in enumerate([0, 4, 7, 12, 16, 12, 7, 4, 0, -5, -1, 2, 7])
+    ])
+    tls = compile_timelines(song, 3, sr, total)
+    return _render_parts([(ti.NiceInstrument(0.3), tls)], seconds, sr)
+
+
+# ---------------------------------------------------------------------------
+# example_delay (examples/example_delay.zig): HardSquareInstrument keyboard
+# voice through StereoEchoes(15000) (examples/modules.zig:464-525).
+
+
+def ex_delay(seconds=8.0):
+    from ..ops import delay as d_ops
+
+    sr = 48000.0
+    total = int(seconds * sr)
+    song = _simple_song([
+        (0.2 + 0.5 * i, 0.25, A4 * tt.rel_freq(n))
+        for i, n in enumerate([-12, -5, 0, 3, 7, 3, 0, -5])
+    ])
+    tls = compile_timelines(song, 1, sr, total)
+
+    def post_fn(state, mix, ctx):
+        return d_ops.stereo_echoes(state, mix, 0.6, 0.7)
+
+    def post_init():
+        return d_ops.stereo_echoes_init(15000)
+
+    return _render_parts([(ti.HardSquareInstrument(), tls)], seconds, sr,
+                         num_channels=2, post_fn=post_fn, post_init=post_init)
+
+
+# ---------------------------------------------------------------------------
+# example_script (examples/example_script.zig): play a scripted module. The
+# reference pre-compiles script.txt to scriptgen.zig with zangc; here the
+# DSL compiles straight to the device graph. The demo script exercises the
+# same feature set as the reference fixture (defcurve argument, delay +
+# feedback block, Filter in the feedback path, builtin fns).
+
+DEMO_SCRIPT = """
+// curve-swept FM blip (the CurvePlayer pattern, examples/script.txt shape)
+SweepVoice = defmodule freq_mul: constant, begin
+    out SineOsc(freq = freq_mul * Curve(function=.smoothstep, curve=defcurve
+        0.0 440.0
+        0.6 880.0
+        1.2 220.0
+        1.8 550.0
+        2.4 110.0
+    end), phase=0) * 0.5
+end
+
+DemoSynth = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.02), decay=.cubed(0.1), release=.cubed(0.6),
+                 sustain_volume=0.7, note_on)
+    s = PulseOsc(freq, color=0.3) * e
+    out delay 11025 begin
+        result = s + feedback * 0.5
+        out result
+        feedback Filter(input=result, type=.low_pass, cutoff=0.2, res=0)
+    end
+end
+"""
+
+
+def ex_script(seconds=6.0):
+    sr = 44100.0
+    song = _simple_song([
+        (0.2 + 0.45 * i, 0.3, A4 * tt.rel_freq(n))
+        for i, n in enumerate([-9, -2, 0, 3, 0, -2, -9, -14])
+    ])
+    return _render_script(DEMO_SCRIPT, "DemoSynth", song, seconds, sr=sr)
+
+
+# ---------------------------------------------------------------------------
+# example_script_runtime_mono/poly (examples/example_script_runtime_*.zig):
+# live reload. The script is rendered, edited on disk, reloaded through
+# LiveScript (re-jit replaces the reference's bytecode interpreter), and
+# rendered again — the two halves are concatenated.
+
+
+def ex_script_runtime(seconds=6.0):
+    import tempfile
+
+    from ..script.runtime import LiveScript
+
+    sr = 44100.0
+    half = seconds / 2.0
+    total = int(half * sr)
+    song = _simple_song([
+        (0.15 + 0.4 * i, 0.3, A4 * tt.rel_freq(n))
+        for i, n in enumerate([0, 3, 7, 3, 0, -5])
+    ])
+    tls = compile_timelines(song, 2, sr, total)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(DEMO_SCRIPT)
+        path = f.name
+    try:
+        live = LiveScript(path, "DemoSynth")
+        assert live.ok, live.error
+        first = render_performance(
+            Performance([(live.instrument, tls)], sr), total, chunk_size=16384)
+        # edit: brighter pulse + faster release, then hot-reload
+        with open(path, "w") as f:
+            f.write(DEMO_SCRIPT.replace("color=0.3", "color=0.5")
+                    .replace(".cubed(0.6)", ".cubed(0.2)"))
+        assert live.maybe_reload() and live.ok, live.error
+        second = render_performance(
+            Performance([(live.instrument, tls)], sr), total, chunk_size=16384)
+    finally:
+        os.unlink(path)
+    return np.concatenate([first, second], axis=-1), sr
+
+
+# ---------------------------------------------------------------------------
+# example_song / write_wav (examples/example_song.zig, write_wav.zig): the
+# Bach Toccata. Full 385 s render is the bench; this entry renders a slice.
+
+
+def ex_song(seconds=20.0):
+    from ..graph.render import render_performance as rp
+    from . import song as sm
+
+    total = int(seconds * sm.SAMPLE_RATE)
+    perf = sm.build_performance(total)
+    return rp(perf, total, chunk_size=65536), float(sm.SAMPLE_RATE)
+
+
+# ---------------------------------------------------------------------------
 # registry + CLI
 
 
@@ -756,6 +910,12 @@ EXAMPLES = {
     "portamento": ex_portamento,
     "mouse": ex_mouse,
     "fmsynth": ex_fmsynth,
+    "sampler": ex_sampler,
+    "polyphony2": ex_polyphony2,
+    "delay": ex_delay,
+    "script": ex_script,
+    "script_runtime": ex_script_runtime,
+    "song": ex_song,
 }
 
 

@@ -53,6 +53,12 @@ def chunkify(sp: SegProgram, chunk_size: int, n_chunks: int, total: int) -> Chun
         s = sp.starts[v]
         firsts[:, v] = np.maximum(np.searchsorted(s, c0s, side="right") - 1, 0)
         lasts[:, v] = np.searchsorted(s, c0s + chunk_size, side="left")
+        # segments starting at/after `total` only affect the trimmed tail
+        # (frames >= total) — excluding them keeps padding boundaries out of
+        # the final chunk's window, which otherwise inflates the global K
+        lasts[:, v] = np.minimum(
+            lasts[:, v], max(np.searchsorted(s, total, side="left"), 1)
+        )
     counts = np.maximum(lasts - firsts, 1)
     Kc = int(counts.max())
     idx = firsts[:, :, None] + np.arange(Kc)[None, None, :]  # [nc, V, Kc]
@@ -112,6 +118,14 @@ def chunkify_tiled(
         s = sp.starts[v]
         firsts[v] = np.maximum(np.searchsorted(s, tile_starts, side="right") - 1, 0)
         lasts[v] = np.searchsorted(s, tile_starts + tile, side="left")
+        # drop boundaries at/after `total` (trimmed tail): without this the
+        # padding rows (start=total) all land in the final tile's window and
+        # set the *global* slot count S for every chunk (29-69 vs 2-4 on the
+        # Bach song). Tiles past the last real boundary keep its value via
+        # the slot-0 clamp below.
+        lasts[v] = np.minimum(
+            lasts[v], max(np.searchsorted(s, total, side="left"), 1)
+        )
     counts = np.maximum(lasts - firsts, 1)
     S = int(counts.max())
     idx = firsts[:, :, None] + np.arange(S)[None, None, :]  # [V, nc*nt, S]

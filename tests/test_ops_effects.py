@@ -209,3 +209,74 @@ class TestPallasFM:
         # implementations (interpret mode) this is tight
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
         np.testing.assert_allclose(np.asarray(nf1), f1, atol=2e-4)
+
+
+class TestPallasSVF:
+    """ops/pallas_svf.py vs the exact sequential recurrence and the affine
+    scan (interpret mode; the real-chip path is exercised by bench)."""
+
+    def _seq(self, l0, b0, x, cut, res, act, muls):
+        from zang_tpu.ops.filters import _svf_step
+
+        l, b = l0.copy(), b0.copy()
+        out = np.zeros_like(x)
+        r = np.float32(1.0 - res)
+        for i in range(x.shape[1]):
+            la, ba, h = [
+                np.asarray(v)
+                for v in _svf_step(
+                    jnp.asarray(l), jnp.asarray(b), jnp.asarray(x[:, i]),
+                    jnp.asarray(cut[:, i]), jnp.float32(r))
+            ]
+            m = act[:, i]
+            out[:, i] = np.where(m, la * muls[0] + ba * muls[1] + h * muls[2], 0.0)
+            l = np.where(m, la, l)
+            b = np.where(m, ba, b)
+        return l, b, out
+
+    def test_matches_sequential_reference(self):
+        from zang_tpu.ops.filters import FILTER_MULS
+        from zang_tpu.ops.pallas_svf import svf_filter_pallas
+
+        rng = np.random.default_rng(7)
+        V, n = 3, 2048
+        x = rng.standard_normal((V, n)).astype(np.float32) * 0.3
+        cut = rng.uniform(0.05, 0.6, (V, n)).astype(np.float32)
+        act = rng.uniform(size=(V, n)) > 0.1
+        l0 = rng.standard_normal(V).astype(np.float32) * 0.1
+        b0 = rng.standard_normal(V).astype(np.float32) * 0.1
+        for ftype in ("low_pass", "band_pass", "high_pass", "notch", "all_pass"):
+            ls, bs, outs = self._seq(l0, b0, x, cut, 0.3, act, FILTER_MULS[ftype])
+            lp, bp, outp = svf_filter_pallas(
+                jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), ftype,
+                jnp.asarray(cut), 0.3, jnp.asarray(act), interpret=True)
+            d = np.asarray(outp, np.float64) - outs
+            rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+            assert rms_db < -120.0, (ftype, rms_db)
+            assert np.abs(np.asarray(lp) - ls).max() < 1e-5
+            assert np.abs(np.asarray(bp) - bs).max() < 1e-5
+
+    def test_state_chains_across_calls(self):
+        from zang_tpu.ops.filters import FILTER_MULS
+        from zang_tpu.ops.pallas_svf import svf_filter_pallas
+
+        rng = np.random.default_rng(8)
+        V, n = 2, 1024
+        x = rng.standard_normal((V, 2 * n)).astype(np.float32) * 0.3
+        cut = np.full((V, 2 * n), 0.3, np.float32)
+        act = np.ones((V, 2 * n), bool)
+        l0 = np.zeros(V, np.float32)
+        b0 = np.zeros(V, np.float32)
+        _, _, full = self._seq(l0, b0, x, cut, 0.3, act, FILTER_MULS["low_pass"])
+        l, b = jnp.asarray(l0), jnp.asarray(b0)
+        halves = []
+        for k in range(2):
+            sl = slice(k * n, (k + 1) * n)
+            l, b, out = svf_filter_pallas(
+                l, b, jnp.asarray(x[:, sl]), "low_pass",
+                jnp.asarray(cut[:, sl]), 0.3, jnp.asarray(act[:, sl]),
+                interpret=True)
+            halves.append(np.asarray(out))
+        d = np.concatenate(halves, axis=1).astype(np.float64) - full
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -120.0, rms_db

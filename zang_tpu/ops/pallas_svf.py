@@ -1,0 +1,241 @@
+"""Pallas TPU kernel for the SVF filter (src/modules/Filter.zig:96-151).
+
+The affine-scan formulation (ops/filters.py) is correct but log-depth: XLA
+materializes ~log2(n) levels of 6-component intermediates in HBM, and the
+render ablation (tools/ablate.py) shows the filter owning ~half the Bach
+render's device time. This kernel replaces it with a block-parallel
+two-phase evaluation whose HBM traffic is ~3 passes over the data:
+
+  layout    time axis n = nb blocks x T samples; the nb=128 blocks ride the
+            lanes, voices ride sublanes, and the kernel walks the T
+            within-block samples sequentially (arrays are [T, Vp, nb]).
+  phase A   propagate THREE concrete states per block — (0,0), (1,0),
+            (0,1) — through the exact per-sample SVF step. The recurrence
+            is linear time-varying, so after T steps the three trajectories
+            determine the block's end-to-end affine map:
+            A = [s(e1)-s(0) | s(e2)-s(0)], c = s(0).
+  glue      a 128-long associative scan composes block maps into exclusive
+            prefixes and applies them to (l0, b0) -> per-block start states
+            (tiny: [Vp, nb] elements, plain XLA outside the kernel).
+  phase B   re-run the exact sequential recurrence from each block's start
+            state and write the filter output (post-step l, b + pre-step h,
+            Filter.zig:140-146) plus the final (l, b) carry.
+
+Within a block the arithmetic is bit-identical to the reference's
+sequential loop; only the nb-1 block seams go through the composed-map
+path, so deviation vs the oracle stays in the same class as the affine
+scan's (measured -145 dBFS on white-noise input).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import _affine2_combine
+
+LANES = 128  # blocks in lanes
+ROW_TILE = 128  # within-block samples per grid step
+
+FCDCOFFSET = np.float32(3.814697265625e-6)  # 2^-18, Filter.zig:8
+
+
+def _svf_step_rows(l, b, inp, cut, res):
+    """One SVF output sample on [Vp, nb] rows (Filter.zig:123-147)."""
+    inv = inp + FCDCOFFSET
+    l = l + cut * b - FCDCOFFSET
+    b = b + cut * (inv - b * res - l)
+    l = l + cut * b
+    h = inv - b * res - l
+    b = b + cut * h
+    return l, b, h
+
+
+def _row(ref, i):
+    return ref[pl.ds(i, 1)][0]  # [Vp, nb]
+
+
+def _summary_kernel(x_ref, cut_ref, act_ref, res_ref, out_ref, s_ref):
+    """Phase A. s_ref scratch [6, Vp, nb] = (l00, b00, l10, b10, l01, b01);
+    out_ref [6, Vp, nb] written on the last grid step."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    res = res_ref[0]
+
+    @pl.when(step == 0)
+    def _():
+        z = jnp.zeros_like(s_ref[0])
+        one = z + np.float32(1.0)
+        s_ref[0], s_ref[1] = z, z
+        s_ref[2], s_ref[3] = one, z
+        s_ref[4], s_ref[5] = z, one
+
+    def body(i, carry):
+        l00, b00, l10, b10, l01, b01 = carry
+        x = _row(x_ref, i)
+        cut = _row(cut_ref, i)
+        act = _row(act_ref, i) != 0
+        nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res)
+        nl10, nb10, _ = _svf_step_rows(l10, b10, x, cut, res)
+        nl01, nb01, _ = _svf_step_rows(l01, b01, x, cut, res)
+        return (
+            jnp.where(act, nl00, l00), jnp.where(act, nb00, b00),
+            jnp.where(act, nl10, l10), jnp.where(act, nb10, b10),
+            jnp.where(act, nl01, l01), jnp.where(act, nb01, b01),
+        )
+
+    carry = tuple(s_ref[k] for k in range(6))
+    carry = jax.lax.fori_loop(0, x_ref.shape[0], body, carry)
+    for k in range(6):
+        s_ref[k] = carry[k]
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        for k in range(6):
+            out_ref[k] = s_ref[k]
+
+
+def _apply_kernel(x_ref, cut_ref, act_ref, start_ref, res_ref, muls_ref,
+                  out_ref, end_ref, s_ref):
+    """Phase B. start_ref [2, Vp, nb] block-start (l, b); muls_ref [3] SMEM
+    (l_mul, b_mul, h_mul); out_ref [RT, Vp, nb]; end_ref [2, Vp, nb] final
+    carry (valid after the last grid step)."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    res = res_ref[0]
+    lm, bm, hm = muls_ref[0], muls_ref[1], muls_ref[2]
+
+    @pl.when(step == 0)
+    def _():
+        s_ref[0] = start_ref[0]
+        s_ref[1] = start_ref[1]
+
+    def body(i, carry):
+        l, b = carry
+        x = _row(x_ref, i)
+        cut = _row(cut_ref, i)
+        act = _row(act_ref, i) != 0
+        nl, nb, h = _svf_step_rows(l, b, x, cut, res)
+        out = nl * lm + nb * bm + h * hm
+        out_ref[pl.ds(i, 1)] = jnp.where(act, out, np.float32(0.0))[None]
+        return jnp.where(act, nl, l), jnp.where(act, nb, b)
+
+    l, b = jax.lax.fori_loop(0, x_ref.shape[0], body, (s_ref[0], s_ref[1]))
+    s_ref[0] = l
+    s_ref[1] = b
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        end_ref[0] = s_ref[0]
+        end_ref[1] = s_ref[1]
+
+
+@functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
+def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
+                interpret=False):
+    """x_t/cut_t/act_t: [T, Vp, nb] f32; res: [1] f32; muls: [3] f32;
+    l0/b0: [Vp] f32. Returns (out_t [T, Vp, nb], l_end [Vp], b_end [Vp])."""
+    T, Vp, nb = x_t.shape
+    grid = (T // t_rows,)
+    row_spec = pl.BlockSpec((t_rows, Vp, nb), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    summaries = pl.pallas_call(
+        _summary_kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=fixed((6, Vp, nb)),
+        out_shape=jax.ShapeDtypeStruct((6, Vp, nb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((6, Vp, nb), jnp.float32)],
+        interpret=interpret,
+    )(x_t, cut_t, act_t, res)
+
+    # block map elements: M = [[a, b], [c, d]], v = [e, f]
+    l00, b00, l10, b10, l01, b01 = [summaries[k] for k in range(6)]
+    elems = (l10 - l00, l01 - l00, b10 - b00, b01 - b00, l00, b00)
+    inc = jax.lax.associative_scan(_affine2_combine, elems, axis=1)
+    ident_cols = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    exc = tuple(
+        jnp.concatenate(
+            [jnp.full((Vp, 1), iv, jnp.float32), m[:, :-1]], axis=1
+        )
+        for m, iv in zip(inc, ident_cols)
+    )
+    a, bmat, c, d, e, f = exc
+    start_l = a * l0[:, None] + bmat * b0[:, None] + e
+    start_b = c * l0[:, None] + d * b0[:, None] + f
+    start = jnp.stack([start_l, start_b])  # [2, Vp, nb]
+
+    out_t, end = pl.pallas_call(
+        _apply_kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, fixed((2, Vp, nb)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[row_spec, fixed((2, Vp, nb))],
+        out_shape=[jax.ShapeDtypeStruct((T, Vp, nb), jnp.float32),
+                   jax.ShapeDtypeStruct((2, Vp, nb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, Vp, nb), jnp.float32)],
+        interpret=interpret,
+    )(x_t, cut_t, act_t, start, res, muls)
+
+    # the signal's end state = the LAST block's exact sequential end
+    return out_t, end[0, :, -1], end[1, :, -1]
+
+
+def svf_supported(x_shape, res) -> bool:
+    return (
+        len(x_shape) == 2
+        and x_shape[1] % LANES == 0
+        and x_shape[1] // LANES >= 8
+        and jnp.ndim(res) == 0
+    )
+
+
+def svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active=None,
+                      interpret=False):
+    """Drop-in for ops.filters.svf_filter on [V, n] f32 inputs with
+    n % 128 == 0. res must be a scalar. Returns (l_end [V], b_end [V],
+    out [V, n])."""
+    from .filters import FILTER_MULS
+
+    V, n = x.shape
+    T = n // LANES
+    t_rows = ROW_TILE if T % ROW_TILE == 0 else T
+    Vp = max(-(-V // 8) * 8, 8)
+
+    l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
+    cut = jnp.clip(jnp.asarray(cutoff, jnp.float32), 0.0, 1.0)
+    r = jnp.float32(1.0) - jnp.clip(jnp.asarray(res, jnp.float32), 0.0, 1.0)
+    cut = jnp.broadcast_to(cut, x.shape)
+    act = (
+        jnp.ones(x.shape, jnp.float32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.float32)
+    )
+
+    def to_t(arr):  # [V, n] -> [T, Vp, nb]; block-major time split
+        a = arr.reshape(V, LANES, T).transpose(2, 0, 1)
+        if Vp == V:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((T, Vp - V, LANES), jnp.float32)], axis=1
+        )
+
+    muls = jnp.array([l_mul, b_mul, h_mul], jnp.float32)
+    l0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(l0)
+    b0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(b0)
+    out_t, l_end, b_end = _svf_blocks(
+        to_t(x), to_t(cut), to_t(act), r.reshape(1), muls, l0p, b0p,
+        t_rows, interpret=interpret,
+    )
+    out = out_t.transpose(1, 2, 0)[:V].reshape(V, n)
+    return l_end[:V], b_end[:V], out

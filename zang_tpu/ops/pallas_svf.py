@@ -39,6 +39,7 @@ from .scan import _affine2_combine
 
 LANES = 128  # blocks in lanes
 ROW_TILE = 128  # within-block samples per grid step
+V_TILE = 64  # voices (sublanes) per kernel instance; Vp > V_TILE splits the grid
 
 FCDCOFFSET = np.float32(3.814697265625e-6)  # 2^-18, Filter.zig:8
 
@@ -59,10 +60,12 @@ def _row(ref, i):
 
 
 def _summary_kernel(x_ref, cut_ref, act_ref, res_ref, out_ref, s_ref):
-    """Phase A. s_ref scratch [6, Vp, nb] = (l00, b00, l10, b10, l01, b01);
-    out_ref [6, Vp, nb] written on the last grid step."""
-    step = pl.program_id(0)
-    nsteps = pl.num_programs(0)
+    """Phase A. Grid (n_v, n_rt): voice tiles x row tiles (row tiles walk
+    sequentially per voice tile, so the scratch carries within one voice
+    tile). s_ref scratch [6, VB, nb] = (l00, b00, l10, b10, l01, b01);
+    out_ref [6, VB, nb] per voice tile, written on its last row step."""
+    step = pl.program_id(1)
+    nsteps = pl.num_programs(1)
     res = res_ref[0]
 
     @pl.when(step == 0)
@@ -103,8 +106,8 @@ def _apply_kernel(x_ref, cut_ref, act_ref, start_ref, res_ref, muls_ref,
     """Phase B. start_ref [2, Vp, nb] block-start (l, b); muls_ref [3] SMEM
     (l_mul, b_mul, h_mul); out_ref [RT, Vp, nb]; end_ref [2, Vp, nb] final
     carry (valid after the last grid step)."""
-    step = pl.program_id(0)
-    nsteps = pl.num_programs(0)
+    step = pl.program_id(1)
+    nsteps = pl.num_programs(1)
     res = res_ref[0]
     lm, bm, hm = muls_ref[0], muls_ref[1], muls_ref[2]
 
@@ -139,12 +142,14 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
     """x_t/cut_t/act_t: [T, Vp, nb] f32; res: [1] f32; muls: [3] f32;
     l0/b0: [Vp] f32. Returns (out_t [T, Vp, nb], l_end [Vp], b_end [Vp])."""
     T, Vp, nb = x_t.shape
-    grid = (T // t_rows,)
-    row_spec = pl.BlockSpec((t_rows, Vp, nb), lambda i: (i, 0, 0),
+    vb = min(Vp, V_TILE)
+    grid = (Vp // vb, T // t_rows)
+    row_spec = pl.BlockSpec((t_rows, vb, nb), lambda v, i: (i, v, 0),
                             memory_space=pltpu.VMEM)
 
     def fixed(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+        # per-voice-tile block, constant across row steps
+        return pl.BlockSpec(shape, lambda v, i: (0, v, 0),
                             memory_space=pltpu.VMEM)
 
     summaries = pl.pallas_call(
@@ -152,9 +157,9 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
         grid=grid,
         in_specs=[row_spec, row_spec, row_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=fixed((6, Vp, nb)),
+        out_specs=fixed((6, vb, nb)),
         out_shape=jax.ShapeDtypeStruct((6, Vp, nb), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((6, Vp, nb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((6, vb, nb), jnp.float32)],
         interpret=interpret,
     )(x_t, cut_t, act_t, res)
 
@@ -177,18 +182,29 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
     out_t, end = pl.pallas_call(
         _apply_kernel,
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec, fixed((2, Vp, nb)),
+        in_specs=[row_spec, row_spec, row_spec, fixed((2, vb, nb)),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[row_spec, fixed((2, Vp, nb))],
+        out_specs=[row_spec, fixed((2, vb, nb))],
         out_shape=[jax.ShapeDtypeStruct((T, Vp, nb), jnp.float32),
                    jax.ShapeDtypeStruct((2, Vp, nb), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((2, Vp, nb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, vb, nb), jnp.float32)],
         interpret=interpret,
     )(x_t, cut_t, act_t, start, res, muls)
 
     # the signal's end state = the LAST block's exact sequential end
     return out_t, end[0, :, -1], end[1, :, -1]
+
+
+def _pick_t_rows(T: int, Vp: int, budget_bytes: int = 1 << 20) -> int:
+    """Largest divisor of T (<= ROW_TILE) whose [t_rows, VB, 128] f32 tile
+    fits the per-input VMEM budget (VB = per-instance voice tile)."""
+    cap = max(budget_bytes // (min(Vp, V_TILE) * LANES * 4), 1)
+    best = 1
+    for d in range(1, min(ROW_TILE, T, cap) + 1):
+        if T % d == 0:
+            best = d
+    return best
 
 
 def svf_supported(x_shape, res) -> bool:
@@ -209,8 +225,10 @@ def svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active=None,
 
     V, n = x.shape
     T = n // LANES
-    t_rows = ROW_TILE if T % ROW_TILE == 0 else T
     Vp = max(-(-V // 8) * 8, 8)
+    if Vp > V_TILE:  # voice-tiled grid needs V_TILE | Vp
+        Vp = -(-Vp // V_TILE) * V_TILE
+    t_rows = _pick_t_rows(T, Vp)
 
     l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
     cut = jnp.clip(jnp.asarray(cutoff, jnp.float32), 0.0, 1.0)

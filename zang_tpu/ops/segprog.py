@@ -65,18 +65,13 @@ def chunkify(sp: SegProgram, chunk_size: int, n_chunks: int, total: int) -> Chun
     in_window = idx < lasts[:, :, None]
     idx_vals = np.minimum(np.maximum(idx, 0), np.maximum(lasts - 1, 0)[:, :, None])
     idx_vals = np.minimum(idx_vals, K - 1)
+    vix = np.arange(V)[None, :, None]
     starts_c = np.where(
-        in_window,
-        np.take_along_axis(
-            np.broadcast_to(sp.starts[None], (n_chunks, V, K)), np.minimum(idx, K - 1), axis=2
-        ),
-        np.int64(total),
+        in_window, sp.starts[vix, np.minimum(idx, K - 1)], np.int64(total)
     )
     values_c = {}
     for name, arr in sp.values.items():
-        values_c[name] = np.take_along_axis(
-            np.broadcast_to(arr[None], (n_chunks, V, K)), idx_vals, axis=2
-        ).copy()
+        values_c[name] = arr[vix, idx_vals]
     return ChunkedSegProgram(starts=starts_c.astype(np.int32), values=values_c)
 
 
@@ -131,12 +126,11 @@ def chunkify_tiled(
     idx = firsts[:, :, None] + np.arange(S)[None, None, :]  # [V, nc*nt, S]
     in_window = idx < lasts[:, :, None]
     idx_v = np.minimum(np.maximum(np.minimum(idx, lasts[:, :, None] - 1), 0), K - 1)
+    vix = np.arange(V)[:, None, None]  # direct gather (take_along_axis on a
+    # broadcast view walks element-by-element and dominated chunk_xs time)
     tb = np.where(
         in_window,
-        np.take_along_axis(
-            np.broadcast_to(sp.starts[:, None, :], (V, tile_starts.size, K)),
-            np.minimum(idx, K - 1), axis=2,
-        ),
+        sp.starts[vix, np.minimum(idx, K - 1)],
         np.int64(total) + 1,
     )
     # slot 0 covers the tile start: force its boundary to "always active"
@@ -145,9 +139,7 @@ def chunkify_tiled(
         "tb": tb.reshape(V, n_chunks, nt, S).swapaxes(0, 1).astype(np.int32)
     }
     for name, arr in sp.values.items():
-        vals = np.take_along_axis(
-            np.broadcast_to(arr[:, None, :], (V, tile_starts.size, K)), idx_v, axis=2
-        )
+        vals = arr[vix, idx_v]
         out[name] = np.ascontiguousarray(
             vals.reshape(V, n_chunks, nt, S).swapaxes(0, 1)
         )

@@ -1,0 +1,103 @@
+"""Live host (host/live.py): block-by-block interactive rendering must
+match the offline chunked renderer given the same note segments, and the
+event path (queue -> dispatcher -> trigger) must behave like the offline
+timeline compiler."""
+
+import numpy as np
+
+from zang_tpu.core.timeline import SubvoiceTimeline, compile_timelines
+from zang_tpu.core.notes import NoteTracker, SongEvent
+from zang_tpu.core.span import Span
+from zang_tpu.graph.render import Performance, render_performance
+from zang_tpu.host import instruments as ti
+from zang_tpu.host.live import LiveSession
+
+SR = 48000.0
+BLOCK = 1024
+
+
+def rms_db(a, b):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+
+
+class TestLiveMatchesOffline:
+    def test_single_voice_pmosc(self):
+        blocks = 16
+        total = blocks * BLOCK
+        song = [
+            SongEvent({"freq": 440.0, "note_on": True}, t=0.0, note_id=1),
+            SongEvent({"freq": 330.0, "note_on": True},
+                      t=4 * BLOCK / SR, note_id=2),
+            SongEvent({"freq": 330.0, "note_on": False},
+                      t=9 * BLOCK / SR, note_id=2),
+        ]
+        tls = compile_timelines(song, 1, SR, total)
+        offline = render_performance(
+            Performance([(ti.PMOscInstrument(0.4), tls)], SR), total,
+            chunk_size=4096)
+
+        live = LiveSession([(ti.PMOscInstrument(0.4), 1)], SR, BLOCK)
+        tracker = NoteTracker(song)  # same f32 frame quantization as offline
+        out = []
+        for b in range(blocks):
+            iap = tracker.consume(SR, Span(0, BLOCK))
+            for imp, params in zip(iap.impulses, iap.paramses):
+                live.push_event(0, params, note_id=imp.note_id,
+                                impulse_frame=imp.frame)
+            out.append(live.render_block())
+        live_audio = np.concatenate(out, axis=1)
+
+        assert live_audio.shape == offline.shape
+        # same segments -> same per-sample values; flat vs tiled program
+        # evaluation and the filter scan differ by ulps only
+        assert rms_db(live_audio, offline) < -110.0
+
+    def test_polyphonic_nice_with_stealing(self):
+        blocks = 12
+        total = blocks * BLOCK
+        poly = 2
+        notes = [(0, 440.0, 1), (2, 550.0, 2), (4, 660.0, 3)]  # 3 on 2 slots
+        song = []
+        for blk, f, nid in notes:
+            song.append(SongEvent({"freq": f, "note_on": True},
+                                  t=blk * BLOCK / SR, note_id=nid))
+            song.append(SongEvent({"freq": f, "note_on": False},
+                                  t=(blk + 5) * BLOCK / SR, note_id=nid))
+        song.sort(key=lambda e: e.t)
+        tls = compile_timelines(song, poly, SR, total)
+        offline = render_performance(
+            Performance([(ti.NiceInstrument(0.3), tls)], SR), total,
+            chunk_size=4096)
+
+        live = LiveSession([(ti.NiceInstrument(0.3), poly)], SR, BLOCK)
+        tracker = NoteTracker(song)
+        out = []
+        for b in range(blocks):
+            iap = tracker.consume(SR, Span(0, BLOCK))
+            for imp, params in zip(iap.impulses, iap.paramses):
+                live.push_event(0, params, note_id=imp.note_id,
+                                impulse_frame=imp.frame)
+            out.append(live.render_block())
+        live_audio = np.concatenate(out, axis=1)
+        assert rms_db(live_audio, offline) < -110.0
+
+
+class TestKeyEvents:
+    def test_keyboard_note_ids_pair_on_off(self):
+        live = LiveSession([(ti.NiceInstrument(0.3), 3)], SR, BLOCK)
+        held = {}
+        nid_on = live.key_event(0, "z", True, note_ids=held)
+        assert nid_on is not None and held["z"] == nid_on
+        blk1 = live.render_block()
+        nid_off = live.key_event(0, "z", False, note_ids=held)
+        assert nid_off == nid_on and "z" not in held
+        blk2 = live.render_block()
+        # release tail keeps sounding, then decays
+        tail = live.render_blocks(20)
+        assert np.abs(blk1).max() > 1e-4
+        assert np.abs(tail[:, -BLOCK:]).max() < np.abs(blk2).max()
+
+    def test_unknown_key_ignored(self):
+        live = LiveSession([(ti.NiceInstrument(0.3), 1)], SR, BLOCK)
+        assert live.key_event(0, "!", True) is None

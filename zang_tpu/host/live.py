@@ -1,0 +1,257 @@
+"""Live (interactive) host: the TPU analog of the SDL audio-callback loop.
+
+The reference host (examples/example.zig:35-83,423-440) runs a real-time
+loop: the main thread pushes key events into an ImpulseQueue under a lock;
+the audio callback drains the queue, splits the block at impulse frames
+with a Trigger, and paints 1024-sample blocks. Here the same event
+machinery runs block-by-block on the host, and one jitted device step —
+compiled once, with static shapes — renders each block from the carried
+state pytree:
+
+  push_event/key_event -> ImpulseQueue            (core/notes.py)
+  render_block():
+    queue -> PolyphonyDispatcher -> Trigger       (exact reference routing)
+    new note segments extend per-voice timelines
+    instrument.plan(timelines-so-far)             (same planners as offline)
+    window-slice to [frame, frame+block) with K padded to a fixed slot
+    count -> jitted step(state, t_idx, programs) -> (state', audio block)
+
+Events pushed with impulse_frame=0 take effect at the next block start —
+matching the reference host, whose getImpulseFrame() always returns 0
+(examples/example.zig:576-583).
+
+Latency is one block. On a local TPU a 1024-sample block at 48 kHz
+(21 ms) is comfortably real-time; through a remote-dispatch tunnel use
+4096+ sample blocks.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.notes import (
+    IdGenerator,
+    ImpulseQueue,
+    ImpulsesAndParamses,
+    PolyphonyDispatcher,
+)
+from ..core.span import Span
+from ..core.timeline import SubvoiceTimeline
+from ..core.trigger import Trigger
+from ..graph.render import RenderCtx
+from ..ops.segprog import SegProgram
+from . import keyboard
+
+
+@dataclass
+class _PartState:
+    instrument: object
+    polyphony: int
+    queue: ImpulseQueue
+    dispatcher: PolyphonyDispatcher
+    triggers: List[Trigger]
+    segs: List[List[tuple]]  # per voice: (abs_start, reset, params)
+    dev_state: object
+
+
+class LiveSession:
+    """Block-by-block interactive renderer over device instruments.
+
+    parts: [(instrument, polyphony)] — instruments follow the offline
+    Instrument protocol (plan / init_state / render), so the same
+    instruments serve offline renders and live sessions.
+    """
+
+    def __init__(
+        self,
+        parts: Sequence[Tuple[object, int]],
+        sample_rate: float,
+        block_size: int = 1024,
+        num_channels: int = 1,
+        post_fn: Optional[Callable] = None,
+        post_init_state: Optional[Callable] = None,
+        slot_capacity: int = 8,
+    ) -> None:
+        self.sample_rate = float(sample_rate)
+        self.block_size = int(block_size)
+        self.num_channels = num_channels
+        self.post_fn = post_fn
+        self.post_state = post_init_state() if post_init_state else ()
+        self.frame = 0  # absolute session frame of the next block
+        self.idgen = IdGenerator()
+        self.slot_capacity = slot_capacity
+        self._step = None  # jitted per-block device step
+        self.parts = [
+            _PartState(
+                instrument=inst,
+                polyphony=poly,
+                queue=ImpulseQueue(),
+                dispatcher=PolyphonyDispatcher(poly),
+                triggers=[Trigger() for _ in range(poly)],
+                segs=[[] for _ in range(poly)],
+                dev_state=inst.init_state(poly),
+            )
+            for inst, poly in parts
+        ]
+
+    # -- event input ------------------------------------------------------
+
+    def push_event(self, part: int, params: dict, note_id: Optional[int] = None,
+                   impulse_frame: int = 0) -> int:
+        """Push a note event for the next block (reference keyEvent path).
+        Returns the note id used."""
+        nid = self.idgen.next() if note_id is None else note_id
+        self.parts[part].queue.push(impulse_frame, nid, params)
+        return nid
+
+    def key_event(self, part: int, key: str, down: bool, a4: float = 440.0,
+                  extra: Optional[dict] = None,
+                  note_ids: Optional[dict] = None) -> Optional[int]:
+        """Keyboard-map helper (examples/common.zig:24-66 two-row map).
+
+        note_ids, if given, tracks held keys so note-offs reuse the note id
+        of the matching note-on (the example hosts' note_ids arrays)."""
+        rel = keyboard.get_key_rel_freq(key)
+        if rel is None:
+            return None
+        params = {"freq": float(np.float32(a4 * rel)), "note_on": down}
+        if extra:
+            params.update(extra)
+        nid = None
+        if note_ids is not None:
+            if down:
+                nid = None  # fresh id below
+            else:
+                nid = note_ids.pop(key, None)
+                if nid is None:
+                    return None
+        nid = self.push_event(part, params, note_id=nid)
+        if note_ids is not None and down:
+            note_ids[key] = nid
+        return nid
+
+    # -- block rendering ---------------------------------------------------
+
+    def _extend_segments(self, part: _PartState) -> None:
+        span = Span(0, self.block_size)
+        iap = part.queue.consume()
+        per_voice = part.dispatcher.dispatch(iap)
+        for v in range(part.polyphony):
+            for r in part.triggers[v].iterate(span, per_voice[v]):
+                abs_start = self.frame + r.span.start
+                prev = part.segs[v][-1] if part.segs[v] else None
+                if prev is not None and not r.note_id_changed and prev[2] == r.params:
+                    continue
+                part.segs[v].append((abs_start, r.note_id_changed, r.params))
+
+    def _timelines(self, part: _PartState, total: int) -> List[SubvoiceTimeline]:
+        out = []
+        for v in range(part.polyphony):
+            segs = part.segs[v]
+            out.append(
+                SubvoiceTimeline(
+                    starts=np.array([s for s, _, _ in segs], dtype=np.int64),
+                    resets=np.array([r for _, r, _ in segs], dtype=bool),
+                    params=[p for _, _, p in segs],
+                    total=total,
+                )
+            )
+        return out
+
+    def _window_slice(self, prog, f0: int, f1: int, total: int):
+        """SegProgram leaves -> {starts [V,KP] i32, name [V,KP]} covering
+        [f0, f1), padded to slot_capacity with zero-delta rows."""
+        if isinstance(prog, SegProgram):
+            V, K = prog.starts.shape
+            KP = self.slot_capacity
+            firsts = np.empty(V, np.int64)
+            lasts = np.empty(V, np.int64)
+            for v in range(V):
+                s = prog.starts[v]
+                firsts[v] = max(np.searchsorted(s, f0, side="right") - 1, 0)
+                lasts[v] = max(
+                    min(np.searchsorted(s, f1, side="left"),
+                        np.searchsorted(s, total, side="left")),
+                    firsts[v] + 1,
+                )
+            count = int((lasts - firsts).max())
+            if count > KP:
+                raise RuntimeError(
+                    f"live block needs {count} slots > slot_capacity={KP}; "
+                    "raise slot_capacity (events per block are <= 32)"
+                )
+            idx = firsts[:, None] + np.arange(KP)[None, :]
+            in_w = idx < lasts[:, None]
+            idx_v = np.minimum(np.maximum(np.minimum(idx, lasts[:, None] - 1), 0), K - 1)
+            vix = np.arange(V)[:, None]
+            out = {
+                "starts": np.where(
+                    in_w, prog.starts[vix, np.minimum(idx, K - 1)], np.int64(f1)
+                ).astype(np.int32)
+            }
+            for name, arr in prog.values.items():
+                out[name] = arr[vix, idx_v]
+            return out
+        if isinstance(prog, dict):
+            return {k: self._window_slice(v, f0, f1, total) for k, v in prog.items()}
+        if isinstance(prog, (list, tuple)):
+            return type(prog)(self._window_slice(v, f0, f1, total) for v in prog)
+        return prog
+
+    def _make_step(self):
+        instruments = [p.instrument for p in self.parts]
+        num_channels = self.num_channels
+        post_fn = self.post_fn
+        n = self.block_size
+
+        def step(states, post_state, t_idx, progs):
+            ctx = RenderCtx(sample_rate=self.sample_rate, t_idx=t_idx, n=n)
+            mix = jnp.zeros((n,), jnp.float32)
+            multi = jnp.zeros((num_channels, n), jnp.float32)
+            new_states = []
+            for inst, prog, st in zip(instruments, progs, states):
+                st2, audio = inst.render(st, prog, ctx)
+                if getattr(inst, "output_channels", None) is not None:
+                    multi = multi + audio
+                elif audio.ndim == 2:
+                    mix = mix + jnp.sum(audio, axis=0)
+                else:
+                    mix = mix + audio
+                new_states.append(st2)
+            if post_fn is not None:
+                post_state, out = post_fn(post_state, mix, ctx)
+                out = out + multi if out.shape == multi.shape else out
+            else:
+                out = multi + mix[None, :]
+            return new_states, post_state, out
+
+        return jax.jit(step)
+
+    def render_block(self) -> np.ndarray:
+        """Render the next block; returns f32 [num_channels, block_size]."""
+        f0, f1 = self.frame, self.frame + self.block_size
+        progs = []
+        for part in self.parts:
+            self._extend_segments(part)
+            tls = self._timelines(part, f1)
+            plan = part.instrument.plan(tls, self.sample_rate)
+            progs.append(self._window_slice(plan, f0, f1, f1))
+        if self._step is None:
+            self._step = self._make_step()
+        t_idx = jnp.asarray(np.arange(f0, f1, dtype=np.int32))
+        states = [p.dev_state for p in self.parts]
+        progs_dev = jax.tree_util.tree_map(jnp.asarray, progs)
+        new_states, self.post_state, out = self._step(
+            states, self.post_state, t_idx, progs_dev
+        )
+        for p, st in zip(self.parts, new_states):
+            p.dev_state = st
+        self.frame = f1
+        return np.asarray(out)
+
+    def render_blocks(self, count: int) -> np.ndarray:
+        return np.concatenate([self.render_block() for _ in range(count)], axis=1)

@@ -101,3 +101,30 @@ class TestKeyEvents:
     def test_unknown_key_ignored(self):
         live = LiveSession([(ti.NiceInstrument(0.3), 1)], SR, BLOCK)
         assert live.key_event(0, "!", True) is None
+
+
+class TestScriptLive:
+    def test_script_instrument_in_live_session(self):
+        # the script_runtime examples' interactive analog: a compiled DSL
+        # module driven by keyboard events, block by block
+        from zang_tpu.script import compile_script
+        from zang_tpu.script.jax_backend import ScriptInstrument
+
+        src = """
+Synth = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.02), decay=.cubed(0.1), release=.cubed(0.4),
+                 sustain_volume=0.8, note_on)
+    out PulseOsc(freq, color=0.4) * e
+end
+"""
+        inst = ScriptInstrument(compile_script(src), "Synth")
+        live = LiveSession([(inst, 2)], 44100.0, 1024)
+        held = {}
+        live.key_event(0, "z", True, note_ids=held)
+        on = live.render_blocks(4)
+        live.key_event(0, "z", False, note_ids=held)
+        off = live.render_blocks(8)
+        assert np.abs(on).max() > 1e-3
+        assert np.isfinite(on).all() and np.isfinite(off).all()
+        # release decays
+        assert np.abs(off[:, -1024:]).max() < np.abs(on).max()

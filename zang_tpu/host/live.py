@@ -93,7 +93,8 @@ class LiveSession:
                 dispatcher=PolyphonyDispatcher(poly),
                 triggers=[Trigger() for _ in range(poly)],
                 segs=[[] for _ in range(poly)],
-                dev_state=inst.init_state(poly),
+                dev_state=None,  # created after the first plan() — some
+                # instruments (ScriptInstrument) size state from the plan
             )
             for inst, poly in parts
         ]
@@ -240,6 +241,8 @@ class LiveSession:
             tls = self._timelines(part, f1)
             plan = part.instrument.plan(tls, self.sample_rate)
             progs.append(self._window_slice(plan, f0, f1, f1))
+            if part.dev_state is None:
+                part.dev_state = part.instrument.init_state(part.polyphony)
         if self._step is None:
             self._step = self._make_step()
         t_idx = jnp.asarray(np.arange(f0, f1, dtype=np.int32))

@@ -88,9 +88,13 @@ class PMOscInstrument:
 
 
 class NiceInstrument:
-    """Pulse -> lowpass -> ADSR (examples/modules.zig:189-248)."""
+    """Pulse -> lowpass -> ADSR (examples/modules.zig:189-248).
 
-    def __init__(self, color: float, freq_fn=None) -> None:
+    color may be a scalar or a per-voice [V] array — per-voice colors let
+    several same-topology parts (e.g. the song's two organs) merge into one
+    part, halving kernel invocations per chunk."""
+
+    def __init__(self, color, freq_fn=None) -> None:
         self.color = color
         self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
 
@@ -133,7 +137,10 @@ class NiceInstrument:
         act = _active(prog, ctx)
         vals = eval_chunk(prog["phase"], ctx.t_idx)
         cnt, ifreq, valid = oscillators.phase_from_chunk(vals, ctx.t_idx)
-        osc = oscillators.pulse_wave(cnt, ifreq, self.color, valid & act)
+        color = self.color
+        if np.ndim(color) == 1:  # per-voice -> broadcast over samples
+            color = jnp.asarray(color, jnp.float32)[:, None]
+        osc = oscillators.pulse_wave(cnt, ifreq, color, valid & act)
         osc = osc * jnp.float32(0.5)
         l, b, filtered = filters.svf_filter(
             state["l"], state["b"], osc, "low_pass", vals["cut"], 0.7, act

@@ -62,11 +62,17 @@ def build_performance(total_frames: int, song=None) -> Performance:
         compile_timelines(song[i], POLYPHONY[i], SAMPLE_RATE, total_frames)
         for i in range(3)
     ]
+    # RegularOrgan (color 0.25) + WeirdOrgan (color 0.1) share the pulse ->
+    # SVF -> ADSR topology, so they merge into ONE 14-voice part with a
+    # per-voice color — one filter kernel invocation per chunk instead of
+    # two (mix order changes, bounded by the -90 dBFS parity budget)
+    organ_colors = np.array(
+        [0.25] * POLYPHONY[REGULAR] + [0.1] * POLYPHONY[WEIRD], np.float32
+    )
     return Performance(
         [
             (ti.PMOscInstrument(0.4, freq_fn=pedal_freq), tls[PEDAL]),
-            (ti.NiceInstrument(0.25), tls[REGULAR]),
-            (ti.NiceInstrument(0.1), tls[WEIRD]),
+            (ti.NiceInstrument(organ_colors), tls[REGULAR] + tls[WEIRD]),
         ],
         SAMPLE_RATE,
     )

@@ -128,3 +128,29 @@ end
         assert np.isfinite(on).all() and np.isfinite(off).all()
         # release decays
         assert np.abs(off[:, -1024:]).max() < np.abs(on).max()
+
+
+class TestLivePostFx:
+    def test_stereo_echoes_post_chain(self):
+        # example_delay.zig's interactive flow: keyboard voice -> StereoEchoes
+        import jax.numpy as jnp
+
+        from zang_tpu.ops import delay as d_ops
+
+        def post_fn(state, mix, ctx):
+            return d_ops.stereo_echoes(state, mix, 0.6, 0.7)
+
+        live = LiveSession(
+            [(ti.HardSquareInstrument(), 1)], SR, BLOCK,
+            num_channels=2, post_fn=post_fn,
+            post_init_state=lambda: d_ops.stereo_echoes_init(15000),
+        )
+        held = {}
+        live.key_event(0, "z", True, note_ids=held)
+        on = live.render_blocks(3)
+        live.key_event(0, "z", False, note_ids=held)
+        tail = live.render_blocks(18)
+        assert on.shape[0] == 2
+        assert not np.allclose(on[0], on[1])  # mirrored echoes
+        # echo energy persists ~15000 frames after note-off
+        assert np.abs(tail[:, 14 * BLOCK:15 * BLOCK]).max() > 1e-4

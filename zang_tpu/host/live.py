@@ -56,6 +56,7 @@ class _PartState:
     triggers: List[Trigger]
     segs: List[List[tuple]]  # per voice: (abs_start, reset, params)
     dev_state: object
+    plan_cache: Optional[tuple] = None  # (key, plan)
 
 
 class LiveSession:
@@ -98,6 +99,7 @@ class LiveSession:
             )
             for inst, poly in parts
         ]
+        self._horizon = 1 << 20  # plan horizon (frames); grows by doubling
 
     # -- event input ------------------------------------------------------
 
@@ -235,12 +237,22 @@ class LiveSession:
     def render_block(self) -> np.ndarray:
         """Render the next block; returns f32 [num_channels, block_size]."""
         f0, f1 = self.frame, self.frame + self.block_size
+        while self._horizon < f1:
+            self._horizon *= 2
         progs = []
         for part in self.parts:
             self._extend_segments(part)
-            tls = self._timelines(part, f1)
-            plan = part.instrument.plan(tls, self.sample_rate)
-            progs.append(self._window_slice(plan, f0, f1, f1))
+            # plans are deterministic in (segments, horizon), so blocks with
+            # no new events reuse the cached plan — steady-state host cost is
+            # just the window slice, not O(session length) re-planning
+            key = (tuple(len(sv) for sv in part.segs), self._horizon)
+            if part.plan_cache is not None and part.plan_cache[0] == key:
+                plan = part.plan_cache[1]
+            else:
+                tls = self._timelines(part, self._horizon)
+                plan = part.instrument.plan(tls, self.sample_rate)
+                part.plan_cache = (key, plan)
+            progs.append(self._window_slice(plan, f0, f1, self._horizon))
             if part.dev_state is None:
                 part.dev_state = part.instrument.init_state(part.polyphony)
         if self._step is None:

@@ -221,3 +221,43 @@ class FilteredSawtoothInstrument:
             jnp.float32(prog["cutoff"]), 0.7, act,
         )
         return {"l": l, "b": b}, out
+
+
+class SquareWithEnvelope:
+    """Pulse x ADSR (examples/modules.zig:291-337).
+
+    Dead code in the reference: no example imports it and its Params use a
+    pre-PaintCurve Envelope API (plain durations), so it does not compile
+    there. Implemented here against the current Envelope semantics with
+    linear curves as the natural reading of bare durations. `weird` picks
+    pulse color 0.3 instead of 0.5 (modules.zig:324)."""
+
+    def __init__(self, weird: bool = False, freq_fn=None) -> None:
+        self.weird = weird
+        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+
+    def plan(self, timelines, sample_rate):
+        prog = {
+            "phase": oscillators.plan_phase_segments(
+                timelines, self.freq_fn, sample_rate, guard_div8=True
+            ),
+            "active_from": active_from(timelines),
+        }
+        env_const = {
+            "attack": PaintCurve.linear(0.01),
+            "decay": PaintCurve.linear(0.1),
+            "release": PaintCurve.linear(0.5),
+            "sustain_volume": 0.5,
+        }
+        return _plan_envelope(timelines, sample_rate, env_const, prog)
+
+    def init_state(self, num_voices: int):
+        return ()
+
+    def render(self, state, prog, ctx):
+        act = _active(prog, ctx)
+        cnt, ifreq, valid = _phase(prog, ctx)
+        osc = oscillators.pulse_wave(
+            cnt, ifreq, 0.3 if self.weird else 0.5, valid & act
+        )
+        return state, osc * _env(prog, ctx)

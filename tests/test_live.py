@@ -154,3 +154,23 @@ class TestLivePostFx:
         assert not np.allclose(on[0], on[1])  # mirrored echoes
         # echo energy persists ~15000 frames after note-off
         assert np.abs(tail[:, 14 * BLOCK:15 * BLOCK]).max() > 1e-4
+
+
+class TestLiveMultiPart:
+    def test_two_instruments_mix(self):
+        # example_play.zig's shape: keyboard voice + drone, two parts
+        live = LiveSession(
+            [(ti.PMOscInstrument(1.0), 1), (ti.FilteredSawtoothInstrument(), 1)],
+            SR, BLOCK)
+        live.push_event(0, {"freq": 440.0, "note_on": True})
+        live.push_event(1, {"freq": 110.0, "note_on": True})
+        both = live.render_blocks(4)
+        assert np.isfinite(both).all() and np.abs(both).max() > 1e-3
+        # the mix contains both fundamentals
+        sp = np.abs(np.fft.rfft(both[0]))
+        freqs = np.fft.rfftfreq(both.shape[1], 1.0 / SR)
+        def peak_near(f0):
+            band = (freqs > f0 * 0.9) & (freqs < f0 * 1.1)
+            return sp[band].max()
+        assert peak_near(440.0) > 0.01 * sp.max()
+        assert peak_near(110.0) > 0.01 * sp.max()

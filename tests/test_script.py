@@ -263,3 +263,69 @@ class TestReferenceScript:
                                  chunk_size=8192)[0]
         assert np.isfinite(mix).all()
         assert np.abs(mix).max() > 0.01
+
+
+class TestCompilerRobustness:
+    """Malformed input must produce a diagnosed ScriptError (file:line:col +
+    caret, the reference's fail.zig behavior) — never a raw traceback."""
+
+    GOOD = """\
+Voice = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.02), decay=.cubed(0.1),
+                 release=.cubed(0.5), sustain_volume=0.8, note_on)
+    s = PulseOsc(freq, color=0.3) * e
+    out delay 11025 begin
+        result = s + feedback * 0.5
+        out result
+        feedback Filter(input=result, type=.low_pass, cutoff=0.2, res=0)
+    end
+end
+"""
+
+    def _expect_script_error_or_ok(self, src):
+        from zang_tpu.script.errors import ScriptError
+
+        try:
+            compile_script(src)
+        except ScriptError as e:
+            assert e.message  # diagnosed, with a message
+        # a still-valid mutation compiling fine is also acceptable
+
+    @pytest.mark.parametrize("seed", range(40))
+    def test_random_mutations_are_diagnosed(self, seed):
+        rng = np.random.default_rng(seed)
+        src = self.GOOD
+        kind = seed % 5
+        if kind == 0:  # delete a random span
+            i = int(rng.integers(0, len(src) - 10))
+            src = src[:i] + src[i + int(rng.integers(1, 10)):]
+        elif kind == 1:  # duplicate a random span
+            i = int(rng.integers(0, len(src) - 10))
+            src = src[:i] + src[i:i + 10] + src[i:]
+        elif kind == 2:  # swap two random chars
+            a, b = sorted(rng.integers(0, len(src), 2).tolist())
+            lst = list(src)
+            lst[a], lst[b] = lst[b], lst[a]
+            src = "".join(lst)
+        elif kind == 3:  # inject garbage tokens
+            i = int(rng.integers(0, len(src)))
+            src = src[:i] + " @$%^& " + src[i:]
+        else:  # truncate
+            src = src[: int(rng.integers(1, len(src)))]
+        self._expect_script_error_or_ok(src)
+
+    @pytest.mark.parametrize("src,needle", [
+        ("M = defmodule begin out nosuch end", "nosuch"),
+        ("M = defmodule begin out SineOsc(bogus=1, phase=0) end", "bogus"),
+        ("M = defmodule begin out 1 +", ""),
+        ("M = defmodule f: curve, begin out Curve(curve=f, function=.nope) end", ""),
+        ("M = defmodule begin feedback 1 end", ""),  # feedback outside delay
+        ("A = B\nB = A", ""),  # global cycle
+    ])
+    def test_specific_errors_diagnosed(self, src, needle):
+        from zang_tpu.script.errors import ScriptError
+
+        with pytest.raises(ScriptError) as ei:
+            compile_script(src)
+        if needle:
+            assert needle in str(ei.value)

@@ -57,3 +57,23 @@ class TestVoiceSharding:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestShardedPostFx:
+    def test_poly_echo_sharded_equals_unsharded(self):
+        # stereo-echoes post chain: per-part states shard on voices, the
+        # post-fx delay lines replicate (their leading axis is time and
+        # 15000 % 8 == 0 would otherwise shard it by accident)
+        from zang_tpu.host import configs
+        from zang_tpu.parallel.mesh import make_mesh, render_performance_sharded
+        from zang_tpu.graph.render import render_performance
+
+        perf, total = configs.build_poly_echo_performance(
+            num_voices=16, seconds=1.5, sample_rate=44100.0, main_delay=15000)
+        ref = render_performance(perf, total, chunk_size=8192)
+        mesh = make_mesh(8)
+        got = render_performance_sharded(perf, total, mesh, chunk_size=8192)
+        assert got.shape == ref.shape
+        d = np.asarray(got, np.float64) - np.asarray(ref, np.float64)
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -120.0, rms_db

@@ -75,11 +75,14 @@ def render_performance_sharded(
 
     n_dev = mesh.devices.size
 
-    def shard_state(x):
+    def shard_voice_state(x):
         x = jnp.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n_dev == 0:
             return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
         return jax.device_put(x, NamedSharding(mesh, P()))
+
+    def replicate(x):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
 
     def shard_xs(x):
         # xs arrays are [n_chunks, V, K]: shard the voice axis (dim 1)
@@ -90,7 +93,15 @@ def render_performance_sharded(
             )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    state0 = jax.tree_util.tree_map(shard_state, state0)
+    # state0 = (per-part states with leading voice axes, post-chain state).
+    # Only the former shards on voices; post-fx state (delay lines etc.)
+    # replicates — its leading axis is time/feature, and a length that
+    # happens to divide the mesh must not get sharded by accident.
+    part_states, post_state = state0
+    state0 = (
+        jax.tree_util.tree_map(shard_voice_state, part_states),
+        jax.tree_util.tree_map(replicate, post_state),
+    )
     xs = jax.tree_util.tree_map(shard_xs, xs)
     starts = jax.device_put(starts, NamedSharding(mesh, P()))
 

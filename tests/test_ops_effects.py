@@ -280,3 +280,52 @@ class TestPallasSVF:
         d = np.concatenate(halves, axis=1).astype(np.float64) - full
         rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
         assert rms_db < -120.0, rms_db
+
+
+class TestFMFeedbackOracle:
+    """The FM feedback oscillator vs its C++ sequential twin (closes the
+    one module without an oracle counterpart)."""
+
+    def _oracle(self, base, feedback, waveform, fb1, fb2):
+        import ctypes
+
+        from zang_tpu.oracle import native
+
+        L = native.lib()
+        out = np.empty_like(base)
+        f1 = np.array([fb1], np.float32)
+        f2 = np.array([fb2], np.float32)
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        L.zo_fm_feedback(fp(out), fp(base), base.size,
+                         ctypes.c_float(feedback), int(waveform),
+                         fp(f1), fp(f2))
+        return out, float(f1[0]), float(f2[0])
+
+    @pytest.mark.parametrize("waveform", [0, 1, 2, 3])
+    def test_scan_matches_oracle(self, waveform):
+        from zang_tpu.ops import fm
+        from zang_tpu.ops.scan import exclusive_cumsum_u32, freq_to_ifreq, utof23
+
+        # contractive regime: with |feedback| < 1 perturbations decay, so
+        # libm-sinf-vs-XLA-sin ulps stay bounded. At feedback >= 1 the loop
+        # is chaotic and sample-wise parity across different sin
+        # implementations is impossible by construction (the pallas-vs-scan
+        # test above covers that regime bit-exactly, same sin on both sides).
+        sr = 48000.0
+        n = 2048
+        freq = np.full((1, n), 220.0, np.float32)
+        cnt0 = jnp.zeros((1,), jnp.uint32)
+        fb = 0.7
+        cnt, (f1, f2), out = fm.fm_osc(
+            cnt0, jnp.asarray(freq), 0.0, waveform, fb,
+            (jnp.zeros(1), jnp.zeros(1)), sr)
+        # oracle twin consumes the same base angles
+        ifreq = freq_to_ifreq(jnp.asarray(freq), sr)
+        base = np.asarray(
+            (utof23(exclusive_cumsum_u32(ifreq)) + np.float32(0.0))
+            * np.float32(np.pi) * np.float32(2.0))[0]
+        ref, rf1, rf2 = self._oracle(base, fb, waveform, 0.0, 0.0)
+        d = np.asarray(out)[0].astype(np.float64) - ref
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -100.0, (waveform, rms_db)  # sinf vs XLA sin ulps
+        assert abs(float(f1[0]) - rf1) < 1e-4 and abs(float(f2[0]) - rf2) < 1e-4

@@ -72,6 +72,7 @@ def lib() -> ctypes.CDLL:
     L.zo_curve_smoothstep_exact.argtypes = [f32p, i32, f32, f32, f32, f32]
     L.zo_curve_linear_parity.argtypes = [f32p, i32, f32, f32]
     L.zo_curve_smoothstep_parity.argtypes = [f32p, i32, f32, f32, f32, f32]
+    L.zo_fm_feedback.argtypes = [f32p, f32p, i32, f32, i32, f32p, f32p]
 
     _lib = L
     return L

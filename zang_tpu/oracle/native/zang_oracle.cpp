@@ -498,4 +498,31 @@ void zo_curve_smoothstep_parity(float* out, int n, float x0, float xstep,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// FM feedback oscillator (examples/example_fmsynth.zig:70-88): the output
+// feeds back through the wave shaper, so the loop is inherently sequential.
+// base[i] = (t_i + phase) * 2pi, precomputed by the caller from the u32
+// phase counter (the parity contract shared with ops/fm.py).
+void zo_fm_feedback(float* out, const float* base, int n, float feedback,
+                    int waveform, float* fb1_io, float* fb2_io) {
+  float fb1 = *fb1_io, fb2 = *fb2_io;
+  for (int i = 0; i < n; ++i) {
+    const float p = base[i] + (fb1 + fb2) * feedback;
+    const float s = sinf(p);
+    float v;
+    switch (waveform) {
+      case 0: v = s; break;
+      case 1: v = s > 0.0f ? s : 0.0f; break;
+      case 2: v = fabsf(s); break;
+      default: v = sinf(p * 2.0f) >= 0.0f ? fabsf(s) : 0.0f; break;
+    }
+    out[i] = v;
+    fb2 = fb1;
+    fb1 = v;
+  }
+  *fb1_io = fb1;
+  *fb2_io = fb2;
+}
+
 }  // extern "C"

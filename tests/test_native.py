@@ -99,3 +99,56 @@ def test_unhashable_params_fall_back():
     song = [SongEvent({"note_on": True, "curve": [1.0, 2.0]}, t=0.0, note_id=1)]
     tls = tlmod.compile_timelines(song, 1, 48000.0, 4800)
     assert len(tls) == 1 and len(tls[0].starts) == 1
+
+
+class TestNativeEnvelope:
+    """core/native.py zt_compile_envelope must emit bit-identical segment
+    tuples to the Python painter walk (ops/control.py)."""
+
+    def _fuzz_song(self, rng, secs=6.0):
+        song, nid, t = [], 1, 0.05
+        while t < secs - 0.5:
+            dur = float(rng.uniform(0.05, 1.2))
+            song.append(SongEvent({"freq": 220.0, "note_on": True},
+                                  t=t, note_id=nid))
+            song.append(SongEvent({"freq": 220.0, "note_on": False},
+                                  t=min(t + dur, secs - 0.2), note_id=nid))
+            nid += 1
+            t += float(rng.uniform(0.1, 1.0))
+        song.sort(key=lambda e: (e.t, e.note_id))
+        return song
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_fuzzed_envelopes_bit_identical(self, seed):
+        from zang_tpu.core.curves import PaintCurve
+        from zang_tpu.ops import control
+
+        rng = np.random.default_rng(seed)
+        sr, secs = 48000.0, 6.0
+        total = int(secs * sr)
+        song = self._fuzz_song(rng, secs)
+        kinds = [PaintCurve.linear, PaintCurve.squared, PaintCurve.cubed]
+        env_const = {
+            "attack": kinds[seed % 3](float(rng.uniform(0.005, 0.3))),
+            "decay": kinds[(seed + 1) % 3](float(rng.uniform(0.01, 0.3))),
+            "release": kinds[(seed + 2) % 3](float(rng.uniform(0.05, 1.0))),
+            "sustain_volume": float(np.float32(rng.uniform(0.3, 1.0))),
+        }
+        if seed % 4 == 0:
+            env_const["attack"] = PaintCurve.instantaneous()
+        fn = lambda k, p: {**env_const, "note_on": bool(p["note_on"])}
+        tl = tlmod.compile_timelines(song, 2, sr, total)[0]
+
+        os.environ["ZANG_NATIVE"] = "0"
+        try:
+            py_segs = __import__("zang_tpu.ops.control", fromlist=["x"]).compile_envelope(tl, sr, fn)
+        finally:
+            os.environ["ZANG_NATIVE"] = "1"
+        d = native.compile_envelope_native(tl, sr, fn)
+        got = list(zip(d["start"].tolist(), d["a"].tolist(), d["b"].tolist(),
+                       d["t_step"].tolist(), d["t0"].tolist(),
+                       d["shape"].tolist()))
+        want = [(int(s), float(np.float32(a)), float(np.float32(b)),
+                 float(np.float32(ts)), float(np.float32(t0)), int(sh))
+                for s, a, b, ts, t0, sh in py_segs]
+        assert got == want

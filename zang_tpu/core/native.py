@@ -36,6 +36,30 @@ def lib():
         _build()
     _lib = ctypes.CDLL(_SO)
     _lib.zt_compile_timelines.restype = ctypes.c_int
+    _lib.zt_compile_envelope.restype = ctypes.c_int
+    _lib.zt_compile_envelope.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),    # starts
+        ctypes.POINTER(ctypes.c_uint8),    # resets
+        ctypes.c_int,                      # num_segs
+        ctypes.c_int64,                    # total
+        ctypes.POINTER(ctypes.c_uint8),    # note_on
+        ctypes.POINTER(ctypes.c_int32),    # attack_kind
+        ctypes.POINTER(ctypes.c_float),    # attack_dur
+        ctypes.POINTER(ctypes.c_int32),    # decay_kind
+        ctypes.POINTER(ctypes.c_float),    # decay_dur
+        ctypes.POINTER(ctypes.c_int32),    # release_kind
+        ctypes.POINTER(ctypes.c_float),    # release_dur
+        ctypes.POINTER(ctypes.c_float),    # sustain
+        ctypes.c_float,                    # sample_rate
+        ctypes.POINTER(ctypes.c_int64),    # seg_start
+        ctypes.POINTER(ctypes.c_float),    # a
+        ctypes.POINTER(ctypes.c_float),    # b
+        ctypes.POINTER(ctypes.c_float),    # t_step
+        ctypes.POINTER(ctypes.c_float),    # t0
+        ctypes.POINTER(ctypes.c_int32),    # shape
+        ctypes.c_int,                      # cap
+        ctypes.POINTER(ctypes.c_int32),    # out_count
+    ]
     _lib.zt_compile_timelines.argtypes = [
         ctypes.POINTER(ctypes.c_float),    # ev_t
         ctypes.POINTER(ctypes.c_int32),    # ev_note_id
@@ -122,3 +146,62 @@ def compile_timelines_native(song, polyphony, sample_rate, total_frames,
             )
         )
     return out
+
+
+_CURVE_KIND = {"instantaneous": 0, "linear": 1, "squared": 2, "cubed": 3}
+
+
+def compile_envelope_native(tl, sample_rate, env_params_fn):
+    """C++ twin of ops.control.compile_envelope. Returns segments as a dict
+    of arrays {"start","a","b","t_step","t0","shape"} (accepted by
+    ops.control.painter_program)."""
+    K = len(tl.starts)
+    starts = np.ascontiguousarray(tl.starts, dtype=np.int64)
+    resets = np.ascontiguousarray(tl.resets, dtype=np.uint8)
+    note_on = np.empty(K, np.uint8)
+    ak = np.empty(K, np.int32); ad = np.empty(K, np.float32)
+    dk = np.empty(K, np.int32); dd = np.empty(K, np.float32)
+    rk = np.empty(K, np.int32); rd = np.empty(K, np.float32)
+    sus = np.empty(K, np.float32)
+    for k in range(K):
+        p = env_params_fn(k, tl.params[k])
+        note_on[k] = 1 if p["note_on"] else 0
+        for kindarr, durarr, c in ((ak, ad, p["attack"]), (dk, dd, p["decay"]),
+                                   (rk, rd, p["release"])):
+            kindarr[k] = _CURVE_KIND[c.kind]
+            durarr[k] = np.float32(c.duration)
+        sus[k] = np.float32(p["sustain_volume"])
+
+    cap = 4 * K + 16
+    out_start = np.empty(cap, np.int64)
+    out_a = np.empty(cap, np.float32)
+    out_b = np.empty(cap, np.float32)
+    out_ts = np.empty(cap, np.float32)
+    out_t0 = np.empty(cap, np.float32)
+    out_sh = np.empty(cap, np.int32)
+    count = np.zeros(1, np.int32)
+    rc = lib().zt_compile_envelope(
+        _ptr(starts, ctypes.c_int64), _ptr(resets, ctypes.c_uint8), K,
+        int(tl.total), _ptr(note_on, ctypes.c_uint8),
+        _ptr(ak, ctypes.c_int32), _ptr(ad, ctypes.c_float),
+        _ptr(dk, ctypes.c_int32), _ptr(dd, ctypes.c_float),
+        _ptr(rk, ctypes.c_int32), _ptr(rd, ctypes.c_float),
+        _ptr(sus, ctypes.c_float), ctypes.c_float(np.float32(sample_rate)),
+        _ptr(out_start, ctypes.c_int64), _ptr(out_a, ctypes.c_float),
+        _ptr(out_b, ctypes.c_float), _ptr(out_ts, ctypes.c_float),
+        _ptr(out_t0, ctypes.c_float), _ptr(out_sh, ctypes.c_int32),
+        cap, _ptr(count, ctypes.c_int32),
+    )
+    if rc == 3:
+        raise ValueError(
+            "note_on while in release without a new note id "
+            "(the reference asserts here - Envelope.zig:45)"
+        )
+    if rc != 0:
+        raise RuntimeError(f"native envelope compiler failed (rc={rc})")
+    n = int(count[0])
+    return {
+        "start": out_start[:n].copy(), "a": out_a[:n].copy(),
+        "b": out_b[:n].copy(), "t_step": out_ts[:n].copy(),
+        "t0": out_t0[:n].copy(), "shape": out_sh[:n].copy(),
+    }

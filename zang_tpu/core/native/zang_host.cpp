@@ -18,6 +18,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -221,6 +222,236 @@ int zt_compile_timelines(
       }
     }
   }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Envelope compiler: C++ twin of ops/control.py compile_envelope +
+// _PainterWalk (which mirror src/zang/painter.zig:67-120 and
+// src/modules/Envelope.zig:38-108). All t accumulation is plain float with
+// -ffp-contract=off, matching the Python f32 tables (np.cumsum f32) bit for
+// bit. Segment tuples are (start, a, b, t_step, t0, shape).
+
+namespace {
+
+constexpr int SHAPE_CONST = 0;
+constexpr int SHAPE_LINEAR = 1;
+constexpr int SHAPE_SQUARED = 2;
+constexpr int SHAPE_CUBED = 3;
+// PaintCurve kind codes from the caller: 0 instantaneous, 1 linear,
+// 2 squared, 3 cubed (shape ids align for 1..3).
+
+struct SegOut {
+  int64_t* start;
+  float* a;
+  float* b;
+  float* t_step;
+  float* t0;
+  int32_t* shape;
+  int cap;
+  int count = 0;
+
+  bool emit(int64_t s, float av, float bv, float ts, float tz, int sh) {
+    if (bv == 0.0f && count > 0 && b[count - 1] == 0.0f && a[count - 1] == av)
+      return true;  // merge equal consecutive constants
+    if (count >= cap) return false;
+    start[count] = s;
+    a[count] = av;
+    b[count] = bv;
+    t_step[count] = ts;
+    t0[count] = tz;
+    shape[count] = sh;
+    ++count;
+    return true;
+  }
+};
+
+struct PainterWalk {
+  float t_value = 0.0f;
+  bool finished = false;
+  float last = 0.0f;
+  float start = 0.0f;
+  // current stage "table" context
+  bool have_stage = false;
+  int stage_kind = -1;
+  float stage_dur = 0.0f;
+  float stage_t_step = 0.0f;
+  float stage_t = 0.0f;       // t after the last consumed sample
+  float stage_t_prev = 0.0f;  // t before the next sample (t_base semantics)
+  bool stage_crossed = false;
+  float sr;
+  SegOut* out;
+
+  static float tp_of(int kind, float t) {
+    const float it = 1.0f - t;
+    if (kind == 1) return t;
+    if (kind == 2) return 1.0f - it * it;
+    return 1.0f - it * it * it;  // cubed
+  }
+
+  void new_curve() {
+    start = last;
+    t_value = 0.0f;
+    finished = false;
+    have_stage = false;
+  }
+
+  bool emit_const(int64_t s, float value) {
+    return out->emit(s, value, 0.0f, 0.0f, 0.0f, SHAPE_CONST);
+  }
+
+  bool paint_flat(int64_t s, int64_t e, float value) {
+    if (e > s) return emit_const(s, value);
+    return true;
+  }
+
+  // returns new pos; sets *fin; *ok false on capacity overflow
+  int64_t paint_toward(int64_t s, int64_t e, int kind, float dur, float goal,
+                       bool* fin, bool* ok) {
+    *ok = true;
+    if (finished) {
+      *fin = true;
+      return s;
+    }
+    if (kind == 0) {  // instantaneous
+      finished = true;
+      t_value = 1.0f;
+      last = goal;
+      *fin = true;
+      return s;
+    }
+    if (!have_stage || stage_kind != kind ||
+        std::memcmp(&stage_dur, &dur, sizeof(float)) != 0) {
+      // stage (re)parameterized mid-flight: continue from current t
+      stage_kind = kind;
+      stage_dur = dur;
+      stage_t_step = 1.0f / (dur * sr);
+      stage_t = t_value;
+      stage_t_prev = t_value;
+      stage_crossed = false;
+      have_stage = true;
+    }
+    if (stage_crossed) {
+      finished = true;
+      *fin = true;
+      return s;
+    }
+    const int64_t avail = e - s;
+    if (avail <= 0) {
+      *fin = false;
+      return s;
+    }
+    const float t_base = stage_t;  // t before the first emitted sample
+    const float bv = goal - start;
+    int64_t n = 0;
+    float t = stage_t;
+    while (n < avail) {
+      float tn = t + stage_t_step;
+      ++n;
+      if (tn >= 1.0f) {
+        t = 1.0f;  // clamp (painter.zig:102-105)
+        stage_crossed = true;
+        break;
+      }
+      t = tn;
+    }
+    if (n > 0) {
+      if (!out->emit(s, start, bv, stage_t_step, t_base,
+                     kind == 1 ? SHAPE_LINEAR
+                               : (kind == 2 ? SHAPE_SQUARED : SHAPE_CUBED))) {
+        *ok = false;
+        *fin = false;
+        return s;
+      }
+      last = start + tp_of(kind, t) * bv;
+      t_value = t;
+      stage_t = t;
+    }
+    if (stage_crossed) {
+      finished = true;
+      *fin = true;
+      return s + n;
+    }
+    *fin = false;
+    return s + n;
+  }
+};
+
+constexpr int ENV_IDLE = 0;
+constexpr int ENV_ATTACK = 1;
+constexpr int ENV_DECAY = 2;
+constexpr int ENV_SUSTAIN = 3;
+constexpr int ENV_RELEASE = 4;
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 ok, 2 = capacity exceeded, 3 = note_on during release without a
+// new note id (the reference asserts here — Envelope.zig:45).
+int zt_compile_envelope(
+    const int64_t* starts, const uint8_t* resets, int num_segs, int64_t total,
+    const uint8_t* note_on, const int32_t* attack_kind, const float* attack_dur,
+    const int32_t* decay_kind, const float* decay_dur,
+    const int32_t* release_kind, const float* release_dur,
+    const float* sustain, float sample_rate,
+    int64_t* seg_start, float* a, float* b, float* t_step, float* t0,
+    int32_t* shape, int cap, int32_t* out_count) {
+  SegOut out{seg_start, a, b, t_step, t0, shape, cap};
+  PainterWalk w;
+  w.sr = sample_rate;
+  w.out = &out;
+  int state = ENV_IDLE;
+  if (!w.emit_const(0, 0.0f)) return 2;
+
+  auto change = [&](int ns) {
+    state = ns;
+    w.new_curve();
+  };
+
+  for (int k = 0; k < num_segs; ++k) {
+    const int64_t s = starts[k];
+    const int64_t e = (k + 1 < num_segs) ? starts[k + 1] : total;
+    if (e <= s) continue;
+    const bool reset = resets[k] != 0;
+    int64_t pos = s;
+    bool fin, ok;
+    if (note_on[k]) {
+      if (reset) change(ENV_ATTACK);
+      if (state == ENV_IDLE) change(ENV_ATTACK);
+      if (state == ENV_RELEASE) return 3;
+      if (state == ENV_ATTACK) {
+        pos = w.paint_toward(pos, e, attack_kind[k], attack_dur[k], 1.0f,
+                             &fin, &ok);
+        if (!ok) return 2;
+        if (fin) change(sustain[k] < 1.0f ? ENV_DECAY : ENV_SUSTAIN);
+      }
+      if (state == ENV_DECAY) {
+        pos = w.paint_toward(pos, e, decay_kind[k], decay_dur[k], sustain[k],
+                             &fin, &ok);
+        if (!ok) return 2;
+        if (fin) change(ENV_SUSTAIN);
+      }
+      if (state == ENV_SUSTAIN) {
+        if (!w.paint_flat(pos, e, sustain[k])) return 2;
+        pos = e;
+      }
+    } else {
+      if (state == ENV_IDLE) {
+        if (!w.paint_flat(pos, e, 0.0f)) return 2;
+      } else {
+        if (state != ENV_RELEASE) change(ENV_RELEASE);
+        pos = w.paint_toward(pos, e, release_kind[k], release_dur[k], 0.0f,
+                             &fin, &ok);
+        if (!ok) return 2;
+        if (fin) change(ENV_IDLE);
+        if (!w.paint_flat(pos, e, 0.0f)) return 2;
+      }
+    }
+  }
+  *out_count = out.count;
   return 0;
 }
 

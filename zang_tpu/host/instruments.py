@@ -103,18 +103,18 @@ class NiceInstrument:
             timelines, self.freq_fn, sample_rate, guard_div8=True
         )
 
-        # per-note cutoff = cutoffFromFrequency(freq * 8, sr), f32 on host
-        def cutoff_fn(p):
-            freq = self.freq_fn(p)
-            f = F32
-            v = f(2.0) * (f(1.0) - np.cos(f(np.pi) * f(f(freq) * f(8.0)) / f(sample_rate), dtype=F32))
-            return np.sqrt(np.clip(v, f(0.0), f(1.0)), dtype=F32)
-
+        # per-note cutoff = cutoffFromFrequency(freq * 8, sr), f32 on host;
+        # vectorized over segments (scalar np math per segment dominated
+        # plan() time at high voice counts)
+        f = F32
         cut = np.zeros_like(phase.values["valid"])
         for v, tl in enumerate(timelines):
             k = len(tl.starts)
             if k:
-                cut[v, :k] = tl.param_f32(cutoff_fn)
+                freqs = tl.param_f32(self.freq_fn)
+                x = f(2.0) * (f(1.0) - np.cos(
+                    f(np.pi) * (freqs * f(8.0)) / f(sample_rate), dtype=F32))
+                cut[v, :k] = np.sqrt(np.clip(x, f(0.0), f(1.0)), dtype=F32)
                 cut[v, k:] = cut[v, k - 1]
         phase.values["cut"] = cut
 

@@ -87,9 +87,16 @@ def paint_table(kind: str, duration: float, sample_rate: float, t0: float = 0.0)
 Seg = Tuple[int, float, float, float, float, int]
 
 
-def painter_program(segs_per_voice: List[List[Seg]], total: int) -> SegProgram:
-    """Pack per-voice painter segments into a SegProgram (padded)."""
-    S = max(1, max(len(s) for s in segs_per_voice))
+def painter_program(segs_per_voice, total: int) -> SegProgram:
+    """Pack per-voice painter segments into a SegProgram (padded).
+
+    Each voice's segments are either a list of Seg tuples (the Python
+    walkers) or a dict of arrays {"start","a","b","t_step","t0","shape"}
+    (the native compiler)."""
+    def seg_len(sv):
+        return len(sv["start"]) if isinstance(sv, dict) else len(sv)
+
+    S = max(1, max(seg_len(sv) for sv in segs_per_voice))
     V = len(segs_per_voice)
     starts = np.full((V, S), total, dtype=np.int64)
     a = np.zeros((V, S), dtype=np.float32)
@@ -98,16 +105,25 @@ def painter_program(segs_per_voice: List[List[Seg]], total: int) -> SegProgram:
     t0 = np.zeros((V, S), dtype=np.float32)
     shape = np.zeros((V, S), dtype=np.int32)
     for v, segs in enumerate(segs_per_voice):
-        for k, (s, av, bv, ts, tz, sh) in enumerate(segs):
-            starts[v, k] = s
-            a[v, k] = av
-            b[v, k] = bv
-            t_step[v, k] = ts
-            t0[v, k] = tz
-            shape[v, k] = sh
-        # repeat the last segment's values into padding (zero deltas)
-        if segs:
+        if isinstance(segs, dict):
+            k = len(segs["start"])
+            starts[v, :k] = segs["start"]
+            a[v, :k] = segs["a"]
+            b[v, :k] = segs["b"]
+            t_step[v, :k] = segs["t_step"]
+            t0[v, :k] = segs["t0"]
+            shape[v, :k] = segs["shape"]
+        else:
             k = len(segs)
+            for i, (s, av, bv, ts, tz, sh) in enumerate(segs):
+                starts[v, i] = s
+                a[v, i] = av
+                b[v, i] = bv
+                t_step[v, i] = ts
+                t0[v, i] = tz
+                shape[v, i] = sh
+        # repeat the last segment's values into padding (zero deltas)
+        if k:
             a[v, k:] = a[v, k - 1]
             b[v, k:] = b[v, k - 1]
             t_step[v, k:] = t_step[v, k - 1]
@@ -248,7 +264,15 @@ def compile_envelope(
 
     env_params_fn(segment_index, note_params) -> dict with keys attack, decay,
     release (PaintCurve), sustain_volume (float), note_on (bool).
+
+    Dispatches to the C++ twin (core/native.py, bit-identical segments)
+    when available; ZANG_NATIVE=0 forces this Python path.
     """
+    from ..core import native as _native
+
+    if _native.available():
+        return _native.compile_envelope_native(tl, sample_rate, env_params_fn)
+
     w = _PainterWalk(sample_rate)
     state = IDLE
     w.emit_const(0, 0.0)  # idle before the first note

@@ -329,3 +329,26 @@ class TestFMFeedbackOracle:
         rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
         assert rms_db < -100.0, (waveform, rms_db)  # sinf vs XLA sin ulps
         assert abs(float(f1[0]) - rf1) < 1e-4 and abs(float(f2[0]) - rf2) < 1e-4
+
+
+class TestPallasSVFGated:
+    def test_large_v_gated_path_matches_affine(self):
+        # V >= GATE_V_MIN folds the active gate into cut's sign and drops
+        # the act array (the kernels are HBM-bound at large voice counts)
+        from zang_tpu.ops.filters import svf_filter
+        from zang_tpu.ops.pallas_svf import GATE_V_MIN, svf_filter_pallas
+
+        rng = np.random.default_rng(5)
+        V, n = GATE_V_MIN - 6, 1024  # pads up to GATE_V_MIN -> gated
+        x = jnp.asarray(rng.standard_normal((V, n)).astype(np.float32) * 0.3)
+        cut = jnp.asarray(rng.uniform(0.05, 0.6, (V, n)).astype(np.float32))
+        act = jnp.asarray(rng.uniform(size=(V, n)) > 0.15)
+        l0 = jnp.zeros(V)
+        b0 = jnp.zeros(V)
+        la, ba, outa = svf_filter(l0, b0, x, "low_pass", cut, 0.3, act)
+        lp, bp, outp = svf_filter_pallas(l0, b0, x, "low_pass", cut, 0.3, act,
+                                         interpret=True)
+        d = np.asarray(outa, np.float64) - np.asarray(outp, np.float64)
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -120.0, rms_db
+        assert np.abs(np.asarray(lp) - np.asarray(la)).max() < 1e-5

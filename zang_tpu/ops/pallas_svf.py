@@ -40,14 +40,18 @@ from .scan import _affine2_combine
 LANES = 128  # blocks in lanes
 ROW_TILE = 128  # within-block samples per grid step
 V_TILE = 64  # voices (sublanes) per kernel instance; Vp > V_TILE splits the grid
+GATE_V_MIN = 256  # fold act into cut's sign at/above this padded voice count
 
 FCDCOFFSET = np.float32(3.814697265625e-6)  # 2^-18, Filter.zig:8
 
 
-def _svf_step_rows(l, b, inp, cut, res):
-    """One SVF output sample on [Vp, nb] rows (Filter.zig:123-147)."""
+def _svf_step_rows(l, b, inp, cut, res, off=FCDCOFFSET):
+    """One SVF output sample on [Vp, nb] rows (Filter.zig:123-147).
+
+    In the gated variant, cut and off are 0.0 on inactive samples, which
+    makes the step an exact identity on (l, b)."""
     inv = inp + FCDCOFFSET
-    l = l + cut * b - FCDCOFFSET
+    l = l + cut * b - off
     b = b + cut * (inv - b * res - l)
     l = l + cut * b
     h = inv - b * res - l
@@ -59,7 +63,22 @@ def _row(ref, i):
     return ref[pl.ds(i, 1)][0]  # [Vp, nb]
 
 
-def _summary_kernel(x_ref, cut_ref, act_ref, res_ref, out_ref, s_ref):
+def _decode_gate(ce):
+    """cut-sign gating: ce = cut (>= 0 after the clip) on active samples,
+    -1 on inactive. Used by the large-V kernels, where dropping the act
+    array cuts HBM traffic by a third (the filter is bandwidth-bound there;
+    at small V the decode's extra serial ops cost more than they save)."""
+    m = ce >= np.float32(0.0)
+    cutm = jnp.where(m, ce, np.float32(0.0))
+    offm = jnp.where(m, FCDCOFFSET, np.float32(0.0))
+    return m, cutm, offm
+
+
+def _summary_kernel(x_ref, cut_ref, *rest, gated=False):
+    if gated:
+        (res_ref, out_ref, s_ref), act_ref = rest, None
+    else:
+        act_ref, res_ref, out_ref, s_ref = rest
     """Phase A. Grid (n_v, n_rt): voice tiles x row tiles (row tiles walk
     sequentially per voice tile, so the scratch carries within one voice
     tile). s_ref scratch [6, VB, nb] = (l00, b00, l10, b10, l01, b01);
@@ -79,6 +98,12 @@ def _summary_kernel(x_ref, cut_ref, act_ref, res_ref, out_ref, s_ref):
     def body(i, carry):
         l00, b00, l10, b10, l01, b01 = carry
         x = _row(x_ref, i)
+        if gated:
+            _, cut, off = _decode_gate(_row(cut_ref, i))
+            nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res, off)
+            nl10, nb10, _ = _svf_step_rows(l10, b10, x, cut, res, off)
+            nl01, nb01, _ = _svf_step_rows(l01, b01, x, cut, res, off)
+            return (nl00, nb00, nl10, nb10, nl01, nb01)
         cut = _row(cut_ref, i)
         act = _row(act_ref, i) != 0
         nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res)
@@ -101,8 +126,11 @@ def _summary_kernel(x_ref, cut_ref, act_ref, res_ref, out_ref, s_ref):
             out_ref[k] = s_ref[k]
 
 
-def _apply_kernel(x_ref, cut_ref, act_ref, start_ref, res_ref, muls_ref,
-                  out_ref, end_ref, s_ref):
+def _apply_kernel(x_ref, cut_ref, *rest, gated=False):
+    if gated:
+        (start_ref, res_ref, muls_ref, out_ref, end_ref, s_ref), act_ref = rest, None
+    else:
+        act_ref, start_ref, res_ref, muls_ref, out_ref, end_ref, s_ref = rest
     """Phase B. start_ref [2, Vp, nb] block-start (l, b); muls_ref [3] SMEM
     (l_mul, b_mul, h_mul); out_ref [RT, Vp, nb]; end_ref [2, Vp, nb] final
     carry (valid after the last grid step)."""
@@ -119,6 +147,12 @@ def _apply_kernel(x_ref, cut_ref, act_ref, start_ref, res_ref, muls_ref,
     def body(i, carry):
         l, b = carry
         x = _row(x_ref, i)
+        if gated:
+            m, cut, off = _decode_gate(_row(cut_ref, i))
+            nl, nb, h = _svf_step_rows(l, b, x, cut, res, off)
+            out = nl * lm + nb * bm + h * hm
+            out_ref[pl.ds(i, 1)] = jnp.where(m, out, np.float32(0.0))[None]
+            return nl, nb
         cut = _row(cut_ref, i)
         act = _row(act_ref, i) != 0
         nl, nb, h = _svf_step_rows(l, b, x, cut, res)
@@ -139,6 +173,7 @@ def _apply_kernel(x_ref, cut_ref, act_ref, start_ref, res_ref, muls_ref,
 @functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
 def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
                 interpret=False):
+    # act_t None selects the gated kernels (act encoded in cut's sign)
     """x_t/cut_t/act_t: [T, Vp, nb] f32; res: [1] f32; muls: [3] f32;
     l0/b0: [Vp] f32. Returns (out_t [T, Vp, nb], l_end [Vp], b_end [Vp])."""
     T, Vp, nb = x_t.shape
@@ -152,16 +187,18 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
         return pl.BlockSpec(shape, lambda v, i: (0, v, 0),
                             memory_space=pltpu.VMEM)
 
+    gated = act_t is None
+    row_inputs = [x_t, cut_t] if gated else [x_t, cut_t, act_t]
+    row_in_specs = [row_spec] * len(row_inputs)
     summaries = pl.pallas_call(
-        _summary_kernel,
+        functools.partial(_summary_kernel, gated=gated),
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=row_in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=fixed((6, vb, nb)),
         out_shape=jax.ShapeDtypeStruct((6, Vp, nb), jnp.float32),
         scratch_shapes=[pltpu.VMEM((6, vb, nb), jnp.float32)],
         interpret=interpret,
-    )(x_t, cut_t, act_t, res)
+    )(*row_inputs, res)
 
     # block map elements: M = [[a, b], [c, d]], v = [e, f]
     l00, b00, l10, b10, l01, b01 = [summaries[k] for k in range(6)]
@@ -180,9 +217,9 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
     start = jnp.stack([start_l, start_b])  # [2, Vp, nb]
 
     out_t, end = pl.pallas_call(
-        _apply_kernel,
+        functools.partial(_apply_kernel, gated=gated),
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec, fixed((2, vb, nb)),
+        in_specs=row_in_specs + [fixed((2, vb, nb)),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[row_spec, fixed((2, vb, nb))],
@@ -190,7 +227,7 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
                    jax.ShapeDtypeStruct((2, Vp, nb), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, vb, nb), jnp.float32)],
         interpret=interpret,
-    )(x_t, cut_t, act_t, start, res, muls)
+    )(*row_inputs, start, res, muls)
 
     # the signal's end state = the LAST block's exact sequential end
     return out_t, end[0, :, -1], end[1, :, -1]
@@ -234,11 +271,20 @@ def svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active=None,
     cut = jnp.clip(jnp.asarray(cutoff, jnp.float32), 0.0, 1.0)
     r = jnp.float32(1.0) - jnp.clip(jnp.asarray(res, jnp.float32), 0.0, 1.0)
     cut = jnp.broadcast_to(cut, x.shape)
-    act = (
-        jnp.ones(x.shape, jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
+    # large V: the kernels are HBM-bound, so fold the gate into cut's sign
+    # and drop the act array (1/3 less traffic). Small V: keep the separate
+    # act array — the gate decode's serial ops cost more than they save.
+    gated = Vp >= GATE_V_MIN
+    if gated:
+        if active is not None:
+            cut = jnp.where(active, cut, jnp.float32(-1.0))
+        act = None
+    else:
+        act = (
+            jnp.ones(x.shape, jnp.float32)
+            if active is None
+            else jnp.asarray(active).astype(jnp.float32)
+        )
 
     def to_t(arr):  # [V, n] -> [T, Vp, nb]; block-major time split
         a = arr.reshape(V, LANES, T).transpose(2, 0, 1)
@@ -252,8 +298,8 @@ def svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active=None,
     l0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(l0)
     b0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(b0)
     out_t, l_end, b_end = _svf_blocks(
-        to_t(x), to_t(cut), to_t(act), r.reshape(1), muls, l0p, b0p,
-        t_rows, interpret=interpret,
+        to_t(x), to_t(cut), None if act is None else to_t(act),
+        r.reshape(1), muls, l0p, b0p, t_rows, interpret=interpret,
     )
     out = out_t.transpose(1, 2, 0)[:V].reshape(V, n)
     return l_end[:V], b_end[:V], out

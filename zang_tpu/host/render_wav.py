@@ -70,7 +70,7 @@ def main(argv=None):
     peak = float(np.abs(mix).max())
     print(
         f"rendered {seconds:.0f}s at {sr}Hz with engine={args.engine} in {dt:.2f}s "
-        f"(RTF {seconds / dt:.0f}x incl. compile), peak {peak:.3f} -> {args.output}"
+        f"(RTF {seconds / dt:.1f}x incl. compile), peak {peak:.3f} -> {args.output}"
     )
 
 

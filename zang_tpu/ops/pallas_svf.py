@@ -99,11 +99,21 @@ def _summary_kernel(x_ref, cut_ref, *rest, gated=False):
         l00, b00, l10, b10, l01, b01 = carry
         x = _row(x_ref, i)
         if gated:
+            # large-V path is throughput-bound: propagate the homogeneous
+            # (linear-part) dynamics for the two basis columns directly —
+            # 12 ops each vs a 16-op full step, with rounding absorbed by
+            # the filter's contractivity (state err stays at the ulp level)
             _, cut, off = _decode_gate(_row(cut_ref, i))
             nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res, off)
-            nl10, nb10, _ = _svf_step_rows(l10, b10, x, cut, res, off)
-            nl01, nb01, _ = _svf_step_rows(l01, b01, x, cut, res, off)
-            return (nl00, nb00, nl10, nb10, nl01, nb01)
+            dl1 = l10 + cut * b10
+            db1 = b10 - cut * (b10 * res + dl1)
+            dl1 = dl1 + cut * db1
+            db1 = db1 - cut * (db1 * res + dl1)
+            dl2 = l01 + cut * b01
+            db2 = b01 - cut * (b01 * res + dl2)
+            dl2 = dl2 + cut * db2
+            db2 = db2 - cut * (db2 * res + dl2)
+            return (nl00, nb00, dl1, db1, dl2, db2)
         cut = _row(cut_ref, i)
         act = _row(act_ref, i) != 0
         nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res)
@@ -200,9 +210,14 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
         interpret=interpret,
     )(*row_inputs, res)
 
-    # block map elements: M = [[a, b], [c, d]], v = [e, f]
+    # block map elements: M = [[a, b], [c, d]], v = [e, f]. The gated
+    # kernel propagates the homogeneous basis directly (columns ARE the
+    # map); the probing kernel needs the trajectory differences.
     l00, b00, l10, b10, l01, b01 = [summaries[k] for k in range(6)]
-    elems = (l10 - l00, l01 - l00, b10 - b00, b01 - b00, l00, b00)
+    if gated:
+        elems = (l10, l01, b10, b01, l00, b00)
+    else:
+        elems = (l10 - l00, l01 - l00, b10 - b00, b01 - b00, l00, b00)
     inc = jax.lax.associative_scan(_affine2_combine, elems, axis=1)
     ident_cols = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     exc = tuple(

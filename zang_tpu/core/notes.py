@@ -105,6 +105,12 @@ class NoteTracker:
     tracker accumulates block time `t += out_len / sample_rate` in f32, and
     each event's frame is `min(int(f * out_len), out_len - 1)` where
     `f = (note_t - t) / buf_time` (notes.zig:162-206).
+
+    Deliberate deviation: the reference stores impulses in a fixed 32-slot
+    array with no overflow guard ("TODO - do something graceful-ish",
+    notes.zig:184-185 — a debug panic / UB past 32 events per block); this
+    tracker is unbounded, which only differs where the reference would
+    crash.
     """
 
     def __init__(self, song: List[SongEvent]) -> None:

@@ -75,14 +75,17 @@ def _decode_gate(ce):
 
 
 def _summary_kernel(x_ref, cut_ref, *rest, gated=False):
+    """Phase A. Grid (n_v, n_rt): voice tiles x row tiles (row tiles walk
+    sequentially per voice tile, so the scratch carries within one voice
+    tile). s_ref scratch [6, VB, nb]: the zero-state trajectory (l00, b00)
+    plus two basis trajectories; out_ref [6, VB, nb] per voice tile,
+    written on its last row step. The gated variant takes no act input
+    (gate encoded in cut's sign) and propagates homogeneous basis columns;
+    the probing variant carries full basis-state trajectories."""
     if gated:
         (res_ref, out_ref, s_ref), act_ref = rest, None
     else:
         act_ref, res_ref, out_ref, s_ref = rest
-    """Phase A. Grid (n_v, n_rt): voice tiles x row tiles (row tiles walk
-    sequentially per voice tile, so the scratch carries within one voice
-    tile). s_ref scratch [6, VB, nb] = (l00, b00, l10, b10, l01, b01);
-    out_ref [6, VB, nb] per voice tile, written on its last row step."""
     step = pl.program_id(1)
     nsteps = pl.num_programs(1)
     res = res_ref[0]
@@ -137,13 +140,13 @@ def _summary_kernel(x_ref, cut_ref, *rest, gated=False):
 
 
 def _apply_kernel(x_ref, cut_ref, *rest, gated=False):
+    """Phase B. start_ref [2, VB, nb] block-start (l, b); muls_ref [3] SMEM
+    (l_mul, b_mul, h_mul); out_ref [RT, VB, nb]; end_ref [2, VB, nb] final
+    carry (valid after the last row step of each voice tile)."""
     if gated:
         (start_ref, res_ref, muls_ref, out_ref, end_ref, s_ref), act_ref = rest, None
     else:
         act_ref, start_ref, res_ref, muls_ref, out_ref, end_ref, s_ref = rest
-    """Phase B. start_ref [2, Vp, nb] block-start (l, b); muls_ref [3] SMEM
-    (l_mul, b_mul, h_mul); out_ref [RT, Vp, nb]; end_ref [2, Vp, nb] final
-    carry (valid after the last grid step)."""
     step = pl.program_id(1)
     nsteps = pl.num_programs(1)
     res = res_ref[0]

@@ -174,3 +174,36 @@ class TestLiveMultiPart:
             return sp[band].max()
         assert peak_near(440.0) > 0.01 * sp.max()
         assert peak_near(110.0) > 0.01 * sp.max()
+
+
+class TestLiveThreading:
+    def test_concurrent_pushes_while_rendering(self):
+        # the reference host pushes key events from the main thread while
+        # the audio callback renders (locked via SDL_LockAudioDevice);
+        # LiveSession must tolerate the same pattern
+        import threading
+
+        live = LiveSession([(ti.NiceInstrument(0.3), 4)], SR, BLOCK)
+        stop = threading.Event()
+        errors = []
+
+        def pusher():
+            i = 0
+            try:
+                while not stop.is_set():
+                    live.push_event(
+                        0, {"freq": 220.0 + (i % 12) * 20.0,
+                            "note_on": i % 2 == 0})
+                    i += 1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        t = threading.Thread(target=pusher)
+        t.start()
+        try:
+            out = live.render_blocks(20)
+        finally:
+            stop.set()
+            t.join()
+        assert not errors
+        assert np.isfinite(out).all()

@@ -25,6 +25,7 @@ Latency is one block. On a local TPU a 1024-sample block at 48 kHz
 4096+ sample blocks.
 """
 
+import threading
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -84,6 +85,10 @@ class LiveSession:
         self.post_state = post_init_state() if post_init_state else ()
         self.frame = 0  # absolute session frame of the next block
         self.idgen = IdGenerator()
+        # the reference host locks the audio device around every main-thread
+        # mutation of shared state (examples/example.zig:425,448); here one
+        # lock serializes event pushes against block rendering
+        self._lock = threading.Lock()
         self.slot_capacity = slot_capacity
         self._step = None  # jitted per-block device step
         self.parts = [
@@ -107,8 +112,9 @@ class LiveSession:
                    impulse_frame: int = 0) -> int:
         """Push a note event for the next block (reference keyEvent path).
         Returns the note id used."""
-        nid = self.idgen.next() if note_id is None else note_id
-        self.parts[part].queue.push(impulse_frame, nid, params)
+        with self._lock:
+            nid = self.idgen.next() if note_id is None else note_id
+            self.parts[part].queue.push(impulse_frame, nid, params)
         return nid
 
     def key_event(self, part: int, key: str, down: bool, a4: float = 440.0,
@@ -141,7 +147,10 @@ class LiveSession:
 
     def _extend_segments(self, part: _PartState) -> None:
         span = Span(0, self.block_size)
-        iap = part.queue.consume()
+        iap = getattr(part, "_pending", None)
+        if iap is None:
+            iap = part.queue.consume()
+        part._pending = None
         per_voice = part.dispatcher.dispatch(iap)
         for v in range(part.polyphony):
             for r in part.triggers[v].iterate(span, per_voice[v]):
@@ -237,6 +246,10 @@ class LiveSession:
     def render_block(self) -> np.ndarray:
         """Render the next block; returns f32 [num_channels, block_size]."""
         f0, f1 = self.frame, self.frame + self.block_size
+        with self._lock:
+            drained = [part.queue.consume() for part in self.parts]
+        for part, iap in zip(self.parts, drained):
+            part._pending = iap
         while self._horizon < f1:
             self._horizon *= 2
         progs = []

@@ -207,3 +207,47 @@ class TestLiveThreading:
             t.join()
         assert not errors
         assert np.isfinite(out).all()
+
+
+class TestRecorderLoop:
+    def test_record_then_loop_through_live_session(self):
+        # the backquote record/replay flow (examples/recorder.zig +
+        # example.zig:393-400) driven through the live host: record a
+        # phrase, then loop it; the looped audio repeats the phrase
+        from zang_tpu.host.interaction import Recorder
+
+        live = LiveSession([(ti.NiceInstrument(0.3), 3)], SR, BLOCK)
+        rec = Recorder()
+        block_t = BLOCK / SR
+
+        rec.start_recording(now=0.0)
+        rec.record_event(0.0, key=ord("z"), down=True)
+        rec.record_event(2 * block_t, key=ord("z"), down=False)
+        rec.record_event(3 * block_t, key=ord("c"), down=True)
+        rec.record_event(5 * block_t, key=ord("c"), down=False)
+        rec.start_playing(now=0.0, loop_length=8 * block_t)
+
+        held = {}
+        blocks = []
+        for b in range(24):  # three 8-block loop iterations
+            for key, down in rec.poll(now=b * block_t):
+                live.key_event(0, chr(key), down, note_ids=held)
+            blocks.append(live.render_block())
+        audio = np.concatenate(blocks, axis=1)
+        assert np.isfinite(audio).all()
+        loop = 8 * BLOCK
+        first, second = audio[0, :loop], audio[0, loop:2 * loop]
+        # the second iteration replays the phrase with the same notes at
+        # the same relative frames, but oscillator phase runs continuously
+        # across the session (the reference never resets counters), so
+        # compare spectra rather than waveforms
+        s1 = np.abs(np.fft.rfft(first))
+        s2 = np.abs(np.fft.rfft(second))
+        denom = np.linalg.norm(s1) * np.linalg.norm(s2)
+        assert denom > 0
+        # loops also carry the previous iteration's release tails, so the
+        # match is strong but not exact
+        assert float(s1 @ s2) / denom > 0.9
+        r1 = np.sqrt((first ** 2).mean())
+        r2 = np.sqrt((second ** 2).mean())
+        assert 0.7 < r2 / r1 < 1.4

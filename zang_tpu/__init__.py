@@ -27,3 +27,31 @@ Subpackages:
 __version__ = "0.1.0"
 
 from . import core  # noqa: F401
+
+# Lazy top-level conveniences: `zang_tpu.Performance`, `zang_tpu.LiveSession`
+# etc. resolve on first use without importing jax-heavy modules at package
+# import time.
+_LAZY = {
+    "SongEvent": ("zang_tpu.core.notes", "SongEvent"),
+    "compile_timelines": ("zang_tpu.core.timeline", "compile_timelines"),
+    "Performance": ("zang_tpu.graph.render", "Performance"),
+    "render_performance": ("zang_tpu.graph.render", "render_performance"),
+    "LiveSession": ("zang_tpu.host.live", "LiveSession"),
+    "compile_script": ("zang_tpu.script", "compile_script"),
+    "read_wav": ("zang_tpu.core.wav", "read_wav"),
+    "write_wav_s16": ("zang_tpu.core.wav", "write_wav_s16"),
+    "deviation_dbfs": ("zang_tpu.graph.fidelity", "deviation_dbfs"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'zang_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

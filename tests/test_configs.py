@@ -84,3 +84,32 @@ class TestPolyEchoConfig:
         dev = deviation_dbfs(a, stereo)
         print(f"\npoly_echo: rms {dev[0]:.1f} dBFS, peak {dev[1]:.1f} dBFS")
         assert dev[0] < -90.0, dev
+
+
+class TestSamplerReverse:
+    def test_reverse_playback_bit_exact(self):
+        # negative speed = reverse looped playback (Sampler.zig:99-102);
+        # the oracle twin gets the same negated nominal rate
+        perf, total = configs.build_sampler_performance(
+            seconds=3.0, speed=-1.0, distort=False, fake_sample_rate=None)
+        mix = render_performance(perf, total, chunk_size=16384)[0]
+
+        w = read_wav(configs.DRUMLOOP)
+        osample = Sample(w.num_channels, -w.sample_rate, "signed16_lsb", w.data)
+        osam = OSampler(mode="parity")
+        a = np.zeros(total, dtype=np.float32)
+        for s in range(0, total, 1024):
+            e = min(total, s + 1024)
+            osam.paint(Span(s, e), [a], [], s == 0, {
+                "sample_rate": SR, "sample": osample, "channel": 0,
+                "loop": True,
+            })
+        a *= np.float32(2.5)
+        dev = deviation_dbfs(a, np.asarray(mix))
+        assert dev[0] < -150.0, dev
+        # sanity: it actually plays (non-silent) and differs from forward
+        fwd, _ = configs.build_sampler_performance(
+            seconds=3.0, speed=1.0, distort=False, fake_sample_rate=None)
+        fmix = render_performance(fwd, total, chunk_size=16384)[0]
+        assert np.abs(np.asarray(mix)).max() > 0.1
+        assert not np.allclose(np.asarray(mix), np.asarray(fmix))

@@ -113,3 +113,36 @@ class TestSamplerReverse:
         fmix = render_performance(fwd, total, chunk_size=16384)[0]
         assert np.abs(np.asarray(mix)).max() > 0.1
         assert not np.allclose(np.asarray(mix), np.asarray(fmix))
+
+
+class TestSamplerOneShot:
+    def test_non_looped_plays_once_bit_exact(self):
+        from zang_tpu.core.notes import SongEvent
+        from zang_tpu.core.timeline import compile_timelines
+        from zang_tpu.graph.render import Performance
+
+        w = read_wav(configs.DRUMLOOP)
+        loop_secs = len(w.data) / 2 / w.sample_rate
+        total = int(3.0 * SR)
+        inst = configs.SamplerInstrument(
+            loop=False, distort=False, fake_sample_rate=None)
+        song = [SongEvent({"note_on": True}, t=0.0, note_id=1)]
+        tls = compile_timelines(song, 1, SR, total)
+        mix = render_performance(
+            Performance([(inst, tls)], SR), total, chunk_size=16384)[0]
+
+        osample = Sample(w.num_channels, w.sample_rate, "signed16_lsb", w.data)
+        osam = OSampler(mode="parity")
+        a = np.zeros(total, dtype=np.float32)
+        for s in range(0, total, 1024):
+            e = min(total, s + 1024)
+            osam.paint(Span(s, e), [a], [], s == 0, {
+                "sample_rate": SR, "sample": osample, "channel": 0,
+                "loop": False,
+            })
+        a *= np.float32(2.5)
+        dev = deviation_dbfs(a, np.asarray(mix))
+        assert dev[0] < -150.0, dev
+        # exact silence once the (non-looped) sample is exhausted
+        tail = np.asarray(mix)[int((loop_secs + 0.2) * SR):]
+        assert np.abs(tail).max() == 0.0

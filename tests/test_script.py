@@ -329,3 +329,46 @@ end
             compile_script(src)
         if needle:
             assert needle in str(ei.value)
+
+
+class TestAllBuiltinsRender:
+    """Every registered builtin must compile AND render through the JAX
+    backend (Decimator used to crash here — per-sample constant params)."""
+
+    SNIPPETS = {
+        "trisaw": "M = defmodule freq: cob, note_on: boolean, begin "
+                  "out TriSawOsc(freq, color=0.3) * Gate(note_on) end",
+        "noise_pink": "M = defmodule freq: cob, note_on: boolean, begin "
+                      "out Noise(color=.pink) * Gate(note_on) end",
+        "noise_white": "M = defmodule freq: cob, note_on: boolean, begin "
+                       "out Noise(color=.white) * 0.5 end",
+        "portamento": "M = defmodule freq: constant, note_on: boolean, begin "
+                      "f = Portamento(curve=.linear(0.1), goal=freq, note_on, "
+                      "prev_note_on=note_on) out SineOsc(freq=f, phase=0) end",
+        "decimator": "M = defmodule freq: cob, note_on: boolean, begin "
+                     "out Decimator(input=SineOsc(freq, phase=0), "
+                     "fake_sample_rate=6000) end",
+        "distortion": "M = defmodule freq: cob, note_on: boolean, begin "
+                      "out Distortion(input=SineOsc(freq, phase=0), "
+                      "type=.clip, ingain=0.9, outgain=0.5, offset=0) end",
+        "cycle": "M = defmodule freq: cob, note_on: boolean, begin "
+                 "out Cycle(speed=freq) - 0.5 end",
+        "filter_hp": "M = defmodule freq: cob, note_on: boolean, begin "
+                     "out Filter(input=PulseOsc(freq, color=0.5), "
+                     "type=.high_pass, cutoff=0.3, res=0.2) end",
+    }
+
+    @pytest.mark.parametrize("name", sorted(SNIPPETS))
+    def test_builtin_renders(self, name):
+        sr = 44100.0
+        total = int(1.0 * sr)
+        song = [
+            SongEvent({"freq": 440.0, "note_on": True}, t=0.05, note_id=1),
+            SongEvent({"freq": 330.0, "note_on": True}, t=0.5, note_id=2),
+        ]
+        inst = ScriptInstrument(compile_script(self.SNIPPETS[name]), "M")
+        tls = compile_timelines(song, 1, sr, total)
+        a = np.asarray(render_performance(
+            Performance([(inst, tls)], sr), total, chunk_size=8192))
+        assert np.isfinite(a).all()
+        assert np.abs(a).max() > 1e-4, "silent render"

@@ -70,14 +70,17 @@ def decimator(
     passthrough = fake >= sr
     silent = fake <= jnp.float32(0.0)  # neither branch taken: untouched
     out = jnp.where(passthrough, x, jnp.where(silent, jnp.float32(0.0), held))
+    # fake may be per-sample (the DSL resolves even constant params to
+    # per-sample tables); the carry takes the regime at the chunk's last
+    # sample. (A fake crossing sr strictly inside one chunk would reset
+    # state mid-chunk in the reference; fake is segment-constant in
+    # practice, so the regimes align with chunk boundaries or the latch.)
+    pt_end = jnp.broadcast_to(passthrough, x.shape)[..., -1]
+    sil_end = jnp.broadcast_to(silent, x.shape)[..., -1]
     cnt_end = jnp.where(
-        jnp.broadcast_to(passthrough, cnt0.shape),
-        jnp.uint32(0xFFFFFFFF),
-        jnp.where(jnp.broadcast_to(silent, cnt0.shape), cnt0, cnt[..., -1]),
+        pt_end, jnp.uint32(0xFFFFFFFF), jnp.where(sil_end, cnt0, cnt[..., -1])
     )
     dval_end = jnp.where(
-        jnp.broadcast_to(passthrough, dval0.shape),
-        jnp.float32(0.0),
-        jnp.where(jnp.broadcast_to(silent, dval0.shape), dval0, held[..., -1]),
+        pt_end, jnp.float32(0.0), jnp.where(sil_end, dval0, held[..., -1])
     )
     return cnt_end, dval_end, out

@@ -372,3 +372,22 @@ class TestAllBuiltinsRender:
             Performance([(inst, tls)], sr), total, chunk_size=8192))
         assert np.isfinite(a).all()
         assert np.abs(a).max() > 1e-4, "silent render"
+
+    def test_builtin_functions_render(self):
+        # abs/cos/max/min/pow/sqrt + pi through the full render path
+        src = """
+M = defmodule freq: cob, note_on: boolean, begin
+    s = SineOsc(freq, phase=0)
+    a = max(0, s) + min(0, s) - abs(s) * 0.1
+    b = pow(abs(s) + 0.1, 2) + sqrt(abs(s)) + cos(s * pi)
+    out (a + b * 0.1) * Gate(note_on) * 0.2
+end
+"""
+        sr = 44100.0
+        total = 22050
+        song = [SongEvent({"freq": 440.0, "note_on": True}, t=0.05, note_id=1)]
+        inst = ScriptInstrument(compile_script(src), "M")
+        tls = compile_timelines(song, 1, sr, total)
+        a = np.asarray(render_performance(
+            Performance([(inst, tls)], sr), total, chunk_size=8192))
+        assert np.isfinite(a).all() and np.abs(a).max() > 1e-4

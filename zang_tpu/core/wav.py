@@ -52,6 +52,59 @@ def _write(path: str, data: bytes, sample_rate: int, num_channels: int, bits: in
         f.write(data)
 
 
+class StreamingWavWriter:
+    """Incremental WAV writer: append PCM as it is rendered, then patch the
+    RIFF/data sizes on close — the reference's write_wav flow (it writes
+    blocks as they render and calls wav.patchHeader at the end,
+    examples/write_wav.zig:86,95). Lets the batch server stream very long
+    renders to disk segment by segment."""
+
+    def __init__(self, path: str, sample_rate: int, num_channels: int = 1,
+                 bits: int = 16) -> None:
+        assert bits in (8, 16)
+        self.path = path
+        self.num_channels = num_channels
+        self.bits = bits
+        self._n_bytes = 0
+        byte_rate = sample_rate * num_channels * bits // 8
+        block_align = num_channels * bits // 8
+        self._f = open(path, "wb")
+        self._f.write(b"RIFF")
+        self._f.write(struct.pack("<I", 36))  # patched on close
+        self._f.write(b"WAVE")
+        self._f.write(b"fmt ")
+        self._f.write(struct.pack(
+            "<IHHIIHH", 16, 1, num_channels, sample_rate, byte_rate,
+            block_align, bits))
+        self._f.write(b"data")
+        self._f.write(struct.pack("<I", 0))  # patched on close
+
+    def append(self, samples: np.ndarray) -> None:
+        """samples: int16 (bits=16) or int8 (bits=8), [n*ch] or [ch, n]."""
+        if samples.ndim == 2:
+            samples = np.ascontiguousarray(samples.T).reshape(-1)
+        if self.bits == 16:
+            assert samples.dtype == np.int16
+            data = samples.tobytes()
+        else:
+            data = (samples.astype(np.int16) + 128).astype(np.uint8).tobytes()
+        self._f.write(data)
+        self._n_bytes += len(data)
+
+    def close(self) -> None:
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._n_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._n_bytes))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_wav(path: str) -> WavData:
     with open(path, "rb") as f:
         raw = f.read()

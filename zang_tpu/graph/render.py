@@ -120,19 +120,25 @@ class Performance:
             )
         return prog
 
-    def render_chunk(self, state, chunk_progs, ctx: RenderCtx):
+    def render_chunk(self, state, chunk_progs, ctx: RenderCtx, programs=None):
         """chunk_progs: per-part program dicts with chunk-local seg slices.
 
         Instruments normally return [V, n] (voices summed into the mono mix).
         An instrument with `output_channels = C` returns [C, n] pre-mixed
         multichannel audio instead (e.g. a stereo panner).
+
+        programs, if given, substitutes self.programs as the static program
+        structure merged with the chunk slices — the batch server passes the
+        per-song program constants as traced arguments this way, so songs
+        share one compiled graph (serve/batch.py).
         """
         states, post_state = state
         mix = jnp.zeros((ctx.n,), jnp.float32)
         multi = jnp.zeros((self.num_channels, ctx.n), jnp.float32)
         new_states = []
         for (inst, _), static_prog, xs_chunk, st in zip(
-            self.parts, self.programs, chunk_progs, states
+            self.parts, programs if programs is not None else self.programs,
+            chunk_progs, states
         ):
             prog = self.merge_chunk(static_prog, xs_chunk)
             st2, audio = inst.render(st, prog, ctx)

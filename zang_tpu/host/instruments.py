@@ -27,6 +27,11 @@ from ..ops.segprog import SegProgram, eval_chunk
 F32 = np.float32
 
 
+def default_freq(p):
+    """Default note-frequency accessor (params["freq"], f32)."""
+    return F32(p["freq"])
+
+
 def _plan_envelope(timelines, sample_rate, env_const, prog):
     segs = [
         control.compile_envelope(
@@ -61,7 +66,7 @@ class PMOscInstrument:
 
     def __init__(self, release_duration: float, freq_fn=None) -> None:
         self.release_duration = release_duration
-        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+        self.freq_fn = freq_fn or default_freq
 
     def plan(self, timelines: List[SubvoiceTimeline], sample_rate: float):
         prog = {
@@ -96,7 +101,7 @@ class NiceInstrument:
 
     def __init__(self, color, freq_fn=None) -> None:
         self.color = color
-        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+        self.freq_fn = freq_fn or default_freq
 
     def plan(self, timelines, sample_rate):
         phase = oscillators.plan_phase_segments(
@@ -153,7 +158,7 @@ class HardSquareInstrument:
     """Pulse gated hard on/off (examples/modules.zig:250-289)."""
 
     def __init__(self, freq_fn=None) -> None:
-        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+        self.freq_fn = freq_fn or default_freq
 
     def plan(self, timelines, sample_rate):
         gate_segs = [control.compile_gate(tl) for tl in timelines]
@@ -180,7 +185,7 @@ class FilteredSawtoothInstrument:
     """TriSaw*1.5 -> ADSR multiply -> lowpass (examples/modules.zig:130-187)."""
 
     def __init__(self, freq_fn=None) -> None:
-        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+        self.freq_fn = freq_fn or default_freq
 
     def plan(self, timelines, sample_rate):
         prog = {
@@ -234,7 +239,7 @@ class SquareWithEnvelope:
 
     def __init__(self, weird: bool = False, freq_fn=None) -> None:
         self.weird = weird
-        self.freq_fn = freq_fn or (lambda p: F32(p["freq"]))
+        self.freq_fn = freq_fn or default_freq
 
     def plan(self, timelines, sample_rate):
         prog = {

@@ -25,6 +25,7 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence
 
@@ -33,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.mixdown import mixdown_s16_np
+from ..core.mixdown import mixdown_s16
 from ..core.wav import StreamingWavWriter
 from ..graph.render import Performance, RenderCtx
 from ..ops.segprog import SegProgram
@@ -214,22 +215,28 @@ class SharedGraphCache:
         self._pinned = []  # keep keyed objects alive so id() keys stay unique
         self.traces = 0
 
+    def has(self, perf: Performance, skeleton, chunk_size: int,
+            segment_chunks: int, emit: str = "f32") -> bool:
+        key = graph_key(perf, skeleton, chunk_size, segment_chunks) + (emit,)
+        with self._lock:
+            return key in self._fns
+
     def get(self, perf: Performance, skeleton, chunk_size: int,
-            segment_chunks: int):
-        key = graph_key(perf, skeleton, chunk_size, segment_chunks)
+            segment_chunks: int, emit: str = "f32"):
+        key = graph_key(perf, skeleton, chunk_size, segment_chunks) + (emit,)
         with self._lock:
             hit = key in self._fns
             if not hit:
                 self._pinned.append(perf)
                 self._fns[key] = self._build(
-                    perf, skeleton, chunk_size, segment_chunks
+                    perf, skeleton, chunk_size, segment_chunks, emit
                 )
             return self._fns[key], hit
 
-    def _build(self, perf, skeleton, chunk_size, segment_chunks):
+    def _build(self, perf, skeleton, chunk_size, segment_chunks, emit):
         cache = self
 
-        def seg_fn(state, starts_seg, xs_seg, consts):
+        def seg_fn(state, starts_seg, xs_seg, consts, vol):
             cache.traces += 1  # runs at trace time only
             programs = _restore_programs(skeleton, consts)
 
@@ -245,6 +252,11 @@ class SharedGraphCache:
 
             state, chunks = jax.lax.scan(step, state, (starts_seg, xs_seg))
             audio = jnp.moveaxis(chunks, 0, 1).reshape(chunks.shape[1], -1)
+            if emit == "s16":
+                # mixdown on device: the serving fleet downloads i16 PCM,
+                # not f32 mix buffers (half the DCN/tunnel bytes, and the
+                # clamp/NaN/trunc rules run at VPU speed)
+                audio = mixdown_s16(audio, vol)
             return state, audio
 
         return jax.jit(seg_fn)
@@ -258,31 +270,42 @@ def render_song_shared(
     segment_chunks: int = 16,
     slot_minimum: int = 4,
     on_segment: Optional[Callable[[np.ndarray], None]] = None,
+    s16_volume: Optional[float] = None,
+    inflight: int = 4,
 ) -> Optional[np.ndarray]:
     """Render one song through the shared graph, segment by segment.
 
-    on_segment, if given, receives each trimmed f32 [C, n] segment as it
-    lands (streaming) and the function returns None; otherwise the full
-    [C, total_frames] array is returned. Bit-identical to
-    graph.render.render_performance at the same chunk size."""
+    on_segment, if given, receives each trimmed [C, n] segment as it lands
+    (streaming) and the function returns None; otherwise the full
+    [C, total_frames] array is returned. Segments are f32 mix, or i16 PCM
+    mixed down on device when s16_volume is set. Bit-identical to
+    graph.render.render_performance (+ host mixdown) at the same chunk size.
+
+    Dispatch is pipelined: up to `inflight` segments are in flight on the
+    device before the host blocks fetching the oldest — segment s+1's
+    dispatch needs only s's *device-side* state, so downloads overlap
+    compute instead of serializing with it."""
     xs_np, n_chunks = perf.chunk_xs(total_frames, chunk_size)
     xs_np = _pad_slot_axes(xs_np, slot_minimum)
     n_seg = max(1, math.ceil(n_chunks / segment_chunks))
     padded = n_seg * segment_chunks
     xs_np = _pad_chunk_axis(xs_np, n_chunks, padded)
 
+    emit = "s16" if s16_volume is not None else "f32"
     skeleton, consts = _split_programs(perf.programs)
-    fn, _ = cache.get(perf, skeleton, chunk_size, segment_chunks)
+    fn, _ = cache.get(perf, skeleton, chunk_size, segment_chunks, emit)
     consts_dev = [jnp.asarray(c) for c in consts]
+    vol = jnp.float32(1.0 if s16_volume is None else s16_volume)
 
     starts = np.arange(padded, dtype=np.int32) * chunk_size
     state = perf.init_state()
     out = [] if on_segment is None else None
     done = 0
-    for s in range(n_seg):
-        sl = slice(s * segment_chunks, (s + 1) * segment_chunks)
-        xs_seg = jax.tree_util.tree_map(lambda a: jnp.asarray(a[sl]), xs_np)
-        state, audio = fn(state, jnp.asarray(starts[sl]), xs_seg, consts_dev)
+    pending = deque()
+
+    def flush_one():
+        nonlocal done
+        audio = pending.popleft()
         seg = np.asarray(audio)[:, : max(0, min(total_frames - done,
                                                 audio.shape[1]))]
         done += seg.shape[1]
@@ -291,6 +314,17 @@ def render_song_shared(
                 on_segment(seg)
         else:
             out.append(seg)
+
+    for s in range(n_seg):
+        sl = slice(s * segment_chunks, (s + 1) * segment_chunks)
+        xs_seg = jax.tree_util.tree_map(lambda a: jnp.asarray(a[sl]), xs_np)
+        state, audio = fn(state, jnp.asarray(starts[sl]), xs_seg,
+                          consts_dev, vol)
+        pending.append(audio)
+        while len(pending) > max(1, inflight):
+            flush_one()
+    while pending:
+        flush_one()
     if on_segment is not None:
         return None
     return np.concatenate(out, axis=1)
@@ -401,9 +435,10 @@ class BatchRenderer:
 
     def _render_one(self, job: RenderJob, dev) -> JobResult:
         perf, total_frames = job.build()
-        _, hit = self.cache.get(
+        emit = "s16" if self.out_dir else "f32"
+        hit = self.cache.has(
             perf, _split_programs(perf.programs)[0],
-            self.chunk_size, self.segment_chunks,
+            self.chunk_size, self.segment_chunks, emit,
         )
         res = JobResult(
             name=job.name, status="ok", device=str(dev),
@@ -417,9 +452,7 @@ class BatchRenderer:
                 render_song_shared(
                     self.cache, perf, total_frames, self.chunk_size,
                     self.segment_chunks, self.slot_minimum,
-                    on_segment=lambda seg: w.append(
-                        mixdown_s16_np(seg, job.volume)
-                    ),
+                    on_segment=w.append, s16_volume=job.volume,
                 )
             res.wav_path = path
         else:

@@ -56,6 +56,26 @@ def _phase(prog, ctx):
     return oscillators.phase_from_chunk(eval_chunk(prog["phase"], ctx.t_idx), ctx.t_idx)
 
 
+def _live_env_kit(polyphony, sample_rate, freq_fn, env_const,
+                  guard_div8=False, extra_fns=None, static=None):
+    """LivePlanKit matching the {phase, active_from, env} plan structure
+    (host/liveplan.py): O(1) host work per event instead of a full re-plan."""
+    from . import liveplan as lp
+
+    def env_fn(k, p, _c=env_const):
+        return {**_c, "note_on": bool(p["note_on"])}
+
+    return lp.LivePlanKit(
+        {
+            "phase": lp.IncPhase(polyphony, sample_rate, freq_fn,
+                                 guard_div8=guard_div8, extra_fns=extra_fns),
+            "active_from": lp.IncActiveFrom(polyphony),
+            "env": lp.IncEnvelope(polyphony, sample_rate, env_fn),
+        },
+        static=static,
+    )
+
+
 class PMOscInstrument:
     """Two-operator phase-mod instrument + ADSR (examples/modules.zig:80-128).
 
@@ -68,18 +88,24 @@ class PMOscInstrument:
         self.release_duration = release_duration
         self.freq_fn = freq_fn or default_freq
 
-    def plan(self, timelines: List[SubvoiceTimeline], sample_rate: float):
-        prog = {
-            "phase": oscillators.plan_phase_segments(timelines, self.freq_fn, sample_rate),
-            "active_from": active_from(timelines),
-        }
-        env_const = {
+    def _env_const(self):
+        return {
             "attack": PaintCurve.cubed(0.025),
             "decay": PaintCurve.cubed(0.1),
             "release": PaintCurve.cubed(self.release_duration),
             "sustain_volume": 0.5,
         }
-        return _plan_envelope(timelines, sample_rate, env_const, prog)
+
+    def plan(self, timelines: List[SubvoiceTimeline], sample_rate: float):
+        prog = {
+            "phase": oscillators.plan_phase_segments(timelines, self.freq_fn, sample_rate),
+            "active_from": active_from(timelines),
+        }
+        return _plan_envelope(timelines, sample_rate, self._env_const(), prog)
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        return _live_env_kit(polyphony, sample_rate, self.freq_fn,
+                             self._env_const())
 
     def init_state(self, num_voices: int):
         return ()
@@ -124,13 +150,27 @@ class NiceInstrument:
         phase.values["cut"] = cut
 
         prog = {"phase": phase, "active_from": active_from(timelines)}
-        env_const = {
+        return _plan_envelope(timelines, sample_rate, self._env_const(), prog)
+
+    def _env_const(self):
+        return {
             "attack": PaintCurve.cubed(0.01),
             "decay": PaintCurve.cubed(0.1),
             "release": PaintCurve.cubed(0.5),
             "sustain_volume": 0.8,
         }
-        return _plan_envelope(timelines, sample_rate, env_const, prog)
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        f = F32
+
+        def cut_fn(p):  # scalar twin of plan()'s vectorized cutoff math
+            fr = f(self.freq_fn(p))
+            x = f(2.0) * (f(1.0) - np.cos(f(np.pi) * (fr * f(8.0)) / f(sample_rate)))
+            return np.sqrt(np.clip(x, f(0.0), f(1.0)))
+
+        return _live_env_kit(polyphony, sample_rate, self.freq_fn,
+                             self._env_const(), guard_div8=True,
+                             extra_fns={"cut": cut_fn})
 
     def init_state(self, num_voices: int):
         return {
@@ -170,6 +210,16 @@ class HardSquareInstrument:
             "gate": control.painter_program(gate_segs, timelines[0].total),
         }
 
+    def live_planner(self, polyphony: int, sample_rate: float):
+        from . import liveplan as lp
+
+        return lp.LivePlanKit({
+            "phase": lp.IncPhase(polyphony, sample_rate, self.freq_fn,
+                                 guard_div8=True),
+            "active_from": lp.IncActiveFrom(polyphony),
+            "gate": lp.IncGate(polyphony),
+        })
+
     def init_state(self, num_voices: int):
         return ()
 
@@ -194,19 +244,28 @@ class FilteredSawtoothInstrument:
             ),
             "active_from": active_from(timelines),
         }
-        env_const = {
+        _plan_envelope(timelines, sample_rate, self._env_const(), prog)
+        prog["cutoff"] = self._cutoff(sample_rate)
+        return prog
+
+    def _env_const(self):
+        return {
             "attack": PaintCurve.cubed(0.025),
             "decay": PaintCurve.cubed(0.1),
             "release": PaintCurve.cubed(1.0),
             "sustain_volume": 0.5,
         }
-        _plan_envelope(timelines, sample_rate, env_const, prog)
+
+    def _cutoff(self, sample_rate):
         f = F32
-        cut = filters.cutoff_from_frequency(
+        return np.float32(filters.cutoff_from_frequency(
             f(f(440.0) * f(twelve_tet.c5)), f(sample_rate)
-        )
-        prog["cutoff"] = np.float32(cut)
-        return prog
+        ))
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        return _live_env_kit(polyphony, sample_rate, self.freq_fn,
+                             self._env_const(), guard_div8=True,
+                             static={"cutoff": self._cutoff(sample_rate)})
 
     def init_state(self, num_voices: int):
         return {

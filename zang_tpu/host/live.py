@@ -25,6 +25,7 @@ Latency is one block. On a local TPU a 1024-sample block at 48 kHz
 4096+ sample blocks.
 """
 
+import os
 import threading
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -58,6 +59,7 @@ class _PartState:
     segs: List[List[tuple]]  # per voice: (abs_start, reset, params)
     dev_state: object
     plan_cache: Optional[tuple] = None  # (key, plan)
+    planner: Optional[object] = None  # incremental live planner (liveplan.py)
 
 
 class LiveSession:
@@ -101,6 +103,15 @@ class LiveSession:
                 segs=[[] for _ in range(poly)],
                 dev_state=None,  # created after the first plan() — some
                 # instruments (ScriptInstrument) size state from the plan
+                # incremental planner: O(events) host cost per block instead
+                # of a full-session re-plan (ZANG_LIVE_INC=0 forces the
+                # re-plan path, used by the equivalence tests)
+                planner=(
+                    inst.live_planner(poly, float(sample_rate))
+                    if hasattr(inst, "live_planner")
+                    and os.environ.get("ZANG_LIVE_INC", "1") != "0"
+                    else None
+                ),
             )
             for inst, poly in parts
         ]
@@ -159,6 +170,9 @@ class LiveSession:
                 if prev is not None and not r.note_id_changed and prev[2] == r.params:
                     continue
                 part.segs[v].append((abs_start, r.note_id_changed, r.params))
+                if part.planner is not None:
+                    part.planner.extend(v, abs_start, r.note_id_changed,
+                                        r.params)
 
     def _timelines(self, part: _PartState, total: int) -> List[SubvoiceTimeline]:
         out = []
@@ -255,6 +269,15 @@ class LiveSession:
         progs = []
         for part in self.parts:
             self._extend_segments(part)
+            if part.planner is not None:
+                # incremental path: planners carry the walk state, so the
+                # window costs O(slot_capacity), independent of session age
+                progs.append(
+                    part.planner.window(f0, f1, self.slot_capacity)
+                )
+                if part.dev_state is None:
+                    part.dev_state = part.instrument.init_state(part.polyphony)
+                continue
             # plans are deterministic in (segments, horizon), so blocks with
             # no new events reuse the cached plan — steady-state host cost is
             # just the window slice, not O(session length) re-planning

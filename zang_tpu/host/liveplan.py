@@ -1,0 +1,263 @@
+"""Incremental live planners: O(events) host work per block, not O(session).
+
+The offline planners (instrument.plan) walk every segment since t=0; the
+LiveSession originally re-ran them on each event block, so host cost grew
+linearly with session length (~10 us/segment — a long jam session would
+blow the 21 ms real-time budget). These planners keep the walk state
+*carried* instead:
+
+- phase (ops.oscillators.plan_phase_segments twin): the only cross-segment
+  state is the accumulated u32 phase `c`; appending a segment is O(1).
+- painter/envelope (ops.control.EnvelopeWalkStream): the ADSR walk state is
+  (stage, painter t/last/start). Closed segments feed the committed stream
+  once; the open (still-sounding) segment is painted provisionally up to
+  the window end each block from a snapshot, then rewound — deterministic
+  f32 accumulation makes successive provisional paints byte-stable.
+- gate / active_from: per-segment local, appended at event time.
+
+Window extraction replaces graph-wide slicing with per-voice cursors that
+only move forward, so render_block's host cost is O(slot_capacity) and
+independent of session length. Outputs are bit-identical to the full
+re-plan path (tests/test_liveplan.py).
+"""
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..ops.control import SHAPE_CONST, EnvelopeWalkStream, Seg
+from ..ops import control
+
+F32 = np.float32
+
+_NEVER = np.int32(2**31 - 1)
+
+# painter program value names, matching ops.control.painter_program
+_PAINTER_VALS = ("a", "b", "t_step", "t0", "shape", "seg_start")
+
+
+class _PainterSegWindow:
+    """Shared window extraction over per-voice painter segment lists.
+
+    Subclasses maintain `self.segs(v)` (list of Seg, append-mostly) —
+    windows move strictly forward, so a per-voice cursor finds the covering
+    segment in amortized O(1)."""
+
+    def __init__(self, V: int) -> None:
+        self.V = V
+        self._cursor = [0] * V
+
+    def _voice_segs(self, v: int, f1: int) -> List[Seg]:
+        raise NotImplementedError
+
+    def window(self, f0: int, f1: int, KP: int) -> Dict[str, np.ndarray]:
+        V = self.V
+        starts = np.full((V, KP), f1, dtype=np.int32)
+        vals = {
+            "a": np.zeros((V, KP), np.float32),
+            "b": np.zeros((V, KP), np.float32),
+            "t_step": np.zeros((V, KP), np.float32),
+            "t0": np.zeros((V, KP), np.float32),
+            "shape": np.zeros((V, KP), np.int32),
+            "seg_start": np.zeros((V, KP), np.int32),
+        }
+        for v in range(V):
+            segs = self._voice_segs(v, f1)
+            i = self._cursor[v]
+            if i >= len(segs):
+                i = max(0, len(segs) - 1)
+            while i + 1 < len(segs) and segs[i + 1][0] <= f0:
+                i += 1
+            self._cursor[v] = i
+            j = i
+            while j + 1 < len(segs) and segs[j + 1][0] < f1:
+                j += 1
+            count = j - i + 1
+            if count > KP:
+                raise RuntimeError(
+                    f"live block needs {count} slots > slot_capacity={KP}; "
+                    "raise slot_capacity"
+                )
+            for n in range(KP):
+                s, a, b, t_step, t0, shape = segs[min(i + n, j)]
+                if n < count:
+                    starts[v, n] = s
+                vals["a"][v, n] = a
+                vals["b"][v, n] = b
+                vals["t_step"][v, n] = t_step
+                vals["t0"][v, n] = t0
+                vals["shape"][v, n] = shape
+                vals["seg_start"][v, n] = s
+        return {"starts": starts, **vals}
+
+
+class IncEnvelope(_PainterSegWindow):
+    """Incremental twin of ops.control.compile_envelope + painter_program."""
+
+    def __init__(self, V: int, sample_rate: float,
+                 env_params_fn: Callable) -> None:
+        super().__init__(V)
+        self.streams = [EnvelopeWalkStream(sample_rate, env_params_fn)
+                        for _ in range(V)]
+        self.open: List[Optional[tuple]] = [None] * V  # (start, reset, params)
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        prev = self.open[v]
+        if prev is not None:
+            s0, r0, p0 = prev
+            self.streams[v].feed(s0, start, r0, p0)
+        self.open[v] = (start, reset, params)
+
+    def _voice_segs(self, v: int, f1: int) -> List[Seg]:
+        st = self.streams[v]
+        prev = self.open[v]
+        if prev is None:
+            return st.segs
+        snap = st.snapshot()
+        s0, r0, p0 = prev
+        st.feed(s0, max(f1, s0 + 1), r0, p0)  # provisional paint to window end
+        segs = list(st.segs)
+        st.restore(snap)
+        return segs
+
+
+class IncGate(_PainterSegWindow):
+    """Incremental twin of ops.control.compile_gate (value is segment-local,
+    so segments commit at event time; no provisional paint needed)."""
+
+    def __init__(self, V: int, gate_fn=None) -> None:
+        super().__init__(V)
+        self.gate_fn = gate_fn or (lambda p: bool(p["note_on"]))
+        self._segs: List[List[Seg]] = [
+            [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)] for _ in range(V)
+        ]
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        val = 1.0 if self.gate_fn(params) else 0.0
+        if self._segs[v][-1][1] == val:
+            return
+        self._segs[v].append((start, val, 0.0, 0.0, 0.0, SHAPE_CONST))
+
+    def _voice_segs(self, v: int, f1: int) -> List[Seg]:
+        return self._segs[v]
+
+
+class IncPhase:
+    """Incremental twin of ops.oscillators.plan_phase_segments: per-segment
+    u32 phase coefficients; the only carry is the accumulated phase `c`.
+
+    extra_fns: {name: fn(params) -> np.float32} — extra per-segment values
+    packed into the same window (e.g. NiceInstrument's filter cutoff)."""
+
+    def __init__(self, V: int, sample_rate: float, freq_fn,
+                 guard_div8: bool = False,
+                 extra_fns: Optional[Dict[str, Callable]] = None) -> None:
+        self.V = V
+        self.freq_fn = freq_fn
+        self.guard = guard_div8
+        self.extra_fns = extra_fns or {}
+        self.sr = F32(sample_rate)
+        self.srbase = F32(F32(4294967296.0) / F32(sample_rate))
+        self.starts: List[List[int]] = [[] for _ in range(V)]
+        self.vals: Dict[str, List[List]] = {
+            name: [[] for _ in range(V)]
+            for name in ("ifreq", "A", "valid", *self.extra_fns)
+        }
+        self.c = [np.uint32(0)] * V  # phase at the open segment's start
+        self.open: List[Optional[tuple]] = [None] * V  # (start, inc)
+        self._cursor = [0] * V
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        with np.errstate(over="ignore"):
+            prev = self.open[v]
+            if prev is not None:
+                s0, inc0 = prev
+                self.c[v] = np.uint32(
+                    self.c[v] + np.uint32(np.uint32(start - s0) * inc0)
+                )
+            freq = F32(self.freq_fn(params))
+            scaled = F32(self.srbase * freq)
+            mag = np.abs(scaled).astype(np.uint32)
+            inc = mag if scaled >= 0 else np.uint32(np.uint32(0) - mag)
+            ok = True
+            if self.guard:
+                ok = bool((freq >= 0) & (freq <= F32(self.sr / F32(8.0))))
+                if not ok:
+                    inc = np.uint32(0)
+            A = np.uint32(self.c[v] - np.uint32(np.uint32(start) * inc))
+        self.starts[v].append(int(start))
+        self.vals["ifreq"][v].append(inc)
+        self.vals["A"][v].append(A)
+        self.vals["valid"][v].append(F32(1.0 if ok else 0.0))
+        for name, fn in self.extra_fns.items():
+            self.vals[name][v].append(F32(fn(params)))
+        self.open[v] = (start, inc)
+
+    def window(self, f0: int, f1: int, KP: int) -> Dict[str, np.ndarray]:
+        V = self.V
+        out_starts = np.full((V, KP), f1, dtype=np.int32)
+        dtypes = {"ifreq": np.uint32, "A": np.uint32, "valid": np.float32}
+        out = {
+            name: np.zeros((V, KP), dtypes.get(name, np.float32))
+            for name in self.vals
+        }
+        for v in range(V):
+            starts = self.starts[v]
+            if not starts:
+                continue
+            i = min(self._cursor[v], len(starts) - 1)
+            while i + 1 < len(starts) and starts[i + 1] <= f0:
+                i += 1
+            self._cursor[v] = i
+            j = i
+            while j + 1 < len(starts) and starts[j + 1] < f1:
+                j += 1
+            count = j - i + 1
+            if count > KP:
+                raise RuntimeError(
+                    f"live block needs {count} slots > slot_capacity={KP}; "
+                    "raise slot_capacity"
+                )
+            for n in range(KP):
+                k = min(i + n, j)
+                if n < count:
+                    out_starts[v, n] = starts[k]
+                for name in self.vals:
+                    out[name][v, n] = self.vals[name][v][k]
+        return {"starts": out_starts, **out}
+
+
+class IncActiveFrom:
+    """Incremental twin of core.timeline.active_from: first event frame per
+    voice (never-active voices stay at i32 max, masking everything)."""
+
+    def __init__(self, V: int) -> None:
+        self.arr = np.full((V,), _NEVER, dtype=np.int32)
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        if self.arr[v] == _NEVER:
+            self.arr[v] = np.int32(start)
+
+    def window(self, f0: int, f1: int, KP: int) -> np.ndarray:
+        return self.arr.copy()
+
+
+class LivePlanKit:
+    """A program-dict of incremental planners, mirroring an instrument's
+    plan() structure. static: extra non-planned leaves (e.g. a scalar
+    cutoff) passed through each window."""
+
+    def __init__(self, planners: Dict[str, object],
+                 static: Optional[Dict[str, object]] = None) -> None:
+        self.planners = planners
+        self.static = static or {}
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        for p in self.planners.values():
+            p.extend(v, start, reset, params)
+
+    def window(self, f0: int, f1: int, KP: int) -> dict:
+        prog = {name: p.window(f0, f1, KP)
+                for name, p in self.planners.items()}
+        prog.update(self.static)
+        return prog

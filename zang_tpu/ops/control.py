@@ -211,6 +211,20 @@ class _PainterWalk:
         if e > s:
             self.emit_const(s, value)
 
+    def snapshot(self) -> tuple:
+        """Copyable walk state (tables are immutable and shared by ref).
+        Lets the live planner paint an open-ended segment provisionally and
+        rewind (host/liveplan.py)."""
+        return (self.t_value, self.finished, self.last, self.start,
+                self.table_pos, self.table_key, self.table, self.table_t0,
+                len(self.segs))
+
+    def restore(self, snap: tuple) -> None:
+        (self.t_value, self.finished, self.last, self.start,
+         self.table_pos, self.table_key, self.table, self.table_t0,
+         nsegs) = snap
+        del self.segs[nsegs:]
+
     def paint_toward(self, s: int, e: int, curve: PaintCurve, goal: float) -> Tuple[int, bool]:
         """Mirror of painter.zig:67-120. Returns (pos, finished)."""
         goal = F32(goal)
@@ -273,55 +287,84 @@ def compile_envelope(
     if _native.available():
         return _native.compile_envelope_native(tl, sample_rate, env_params_fn)
 
-    w = _PainterWalk(sample_rate)
-    state = IDLE
-    w.emit_const(0, 0.0)  # idle before the first note
-
-    def change(new_state):
-        nonlocal state
-        state = new_state
-        w.new_curve()
-
+    st = EnvelopeWalkStream(sample_rate, env_params_fn)
     for k in range(len(tl.starts)):
         s = int(tl.starts[k])
         e = int(tl.starts[k + 1]) if k + 1 < len(tl.starts) else tl.total
+        st.feed(s, e, bool(tl.resets[k]), tl.params[k])
+    return st.segs
+
+
+class EnvelopeWalkStream:
+    """Streaming form of the envelope compiler: feed one timeline segment
+    [s, e) at a time; carries (ADSR state, painter walk) across calls.
+
+    Identical segment output to compile_envelope's batch walk (it IS the
+    batch walk's body) — the incremental live planner feeds segments as
+    events arrive instead of re-walking the whole session."""
+
+    def __init__(self, sample_rate: float, env_params_fn) -> None:
+        self.w = _PainterWalk(sample_rate)
+        self.state = IDLE
+        self.fn = env_params_fn
+        self.k = 0  # segment index passed through to env_params_fn
+        self.w.emit_const(0, 0.0)  # idle before the first note
+
+    @property
+    def segs(self) -> List[Seg]:
+        return self.w.segs
+
+    def snapshot(self) -> tuple:
+        return (self.state, self.k, self.w.snapshot())
+
+    def restore(self, snap: tuple) -> None:
+        self.state, self.k, wsnap = snap
+        self.w.restore(wsnap)
+
+    def feed(self, s: int, e: int, reset: bool, params: dict) -> None:
+        k = self.k
+        self.k += 1
         if e <= s:
-            continue
-        p = env_params_fn(k, tl.params[k])
-        reset = bool(tl.resets[k])
+            return
+        p = self.fn(k, params)
+        w = self.w
+
+        def change(new_state):
+            self.state = new_state
+            w.new_curve()
+
         pos = s
         if p["note_on"]:
             if reset:
                 change(ATTACK)
-            if state == IDLE:
+            if self.state == IDLE:
                 change(ATTACK)
-            if state == RELEASE:
+            if self.state == RELEASE:
                 raise ValueError(
                     "note_on while in release without a new note id "
                     "(the reference asserts here — Envelope.zig:45)"
                 )
-            if state == ATTACK:
+            if self.state == ATTACK:
                 pos, fin = w.paint_toward(pos, e, p["attack"], 1.0)
                 if fin:
                     change(DECAY if p["sustain_volume"] < 1.0 else SUSTAIN)
-            if state == DECAY:
+            if self.state == DECAY:
                 pos, fin = w.paint_toward(pos, e, p["decay"], p["sustain_volume"])
                 if fin:
                     change(SUSTAIN)
-            if state == SUSTAIN:
+            if self.state == SUSTAIN:
                 w.paint_flat(pos, e, p["sustain_volume"])
                 pos = e
         else:
-            if state == IDLE:
+            if self.state == IDLE:
                 w.paint_flat(pos, e, 0.0)
             else:
-                if state != RELEASE:
+                if self.state != RELEASE:
                     change(RELEASE)
                 pos, fin = w.paint_toward(pos, e, p["release"], 0.0)
                 if fin:
                     change(IDLE)
                 w.paint_flat(pos, e, 0.0)
-    return w.segs
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,90 @@ _NEVER = np.int32(2**31 - 1)
 _PAINTER_VALS = ("a", "b", "t_step", "t0", "shape", "seg_start")
 
 
+def advance_cursor(starts_at, length: int, cursor: int, f0: int) -> int:
+    """Forward-only covering-segment search: starts_at(i) is the i-th start.
+    Returns the last index whose start <= f0 (amortized O(1) per window)."""
+    i = min(cursor, length - 1) if length else 0
+    while i + 1 < length and starts_at(i + 1) <= f0:
+        i += 1
+    return i
+
+
+def painter_segs_window(segs, cursor: int, f0: int, f1: int, KP: int,
+                        starts, vals, v: int):
+    """Fill row v of a painter window ({starts + _PAINTER_VALS} [V, KP])
+    from a Seg list. Returns the advanced cursor."""
+    i = advance_cursor(lambda n: segs[n][0], len(segs), cursor, f0)
+    j = i
+    while j + 1 < len(segs) and segs[j + 1][0] < f1:
+        j += 1
+    count = j - i + 1
+    if count > KP:
+        raise RuntimeError(
+            f"live block needs {count} slots > slot_capacity={KP}; "
+            "raise slot_capacity"
+        )
+    for n in range(KP):
+        s, a, b, t_step, t0, shape = segs[min(i + n, j)]
+        if n < count:
+            starts[v, n] = s
+        vals["a"][v, n] = a
+        vals["b"][v, n] = b
+        vals["t_step"][v, n] = t_step
+        vals["t0"][v, n] = t0
+        vals["shape"][v, n] = shape
+        vals["seg_start"][v, n] = s
+    return i
+
+
+def new_painter_window(V: int, KP: int, f1: int):
+    starts = np.full((V, KP), f1, dtype=np.int32)
+    vals = {
+        "a": np.zeros((V, KP), np.float32),
+        "b": np.zeros((V, KP), np.float32),
+        "t_step": np.zeros((V, KP), np.float32),
+        "t0": np.zeros((V, KP), np.float32),
+        "shape": np.zeros((V, KP), np.int32),
+        "seg_start": np.zeros((V, KP), np.int32),
+    }
+    return starts, vals
+
+
+def columns_window(starts_lists, value_lists, dtypes, cursors,
+                   f0: int, f1: int, KP: int):
+    """Generic per-voice segment-column window: {starts [V,KP] i32,
+    name: [V,KP]} with repeat-last fill (zero pconst deltas). cursors is
+    mutated in place."""
+    V = len(starts_lists)
+    out_starts = np.full((V, KP), f1, dtype=np.int32)
+    out = {
+        name: np.zeros((V, KP), dtypes.get(name, np.float32))
+        for name in value_lists
+    }
+    for v in range(V):
+        starts = starts_lists[v]
+        if not starts:
+            continue
+        i = advance_cursor(starts.__getitem__, len(starts), cursors[v], f0)
+        cursors[v] = i
+        j = i
+        while j + 1 < len(starts) and starts[j + 1] < f1:
+            j += 1
+        count = j - i + 1
+        if count > KP:
+            raise RuntimeError(
+                f"live block needs {count} slots > slot_capacity={KP}; "
+                "raise slot_capacity"
+            )
+        for n in range(KP):
+            k = min(i + n, j)
+            if n < count:
+                out_starts[v, n] = starts[k]
+            for name in value_lists:
+                out[name][v, n] = value_lists[name][v][k]
+    return {"starts": out_starts, **out}
+
+
 class _PainterSegWindow:
     """Shared window extraction over per-voice painter segment lists.
 
@@ -51,43 +135,11 @@ class _PainterSegWindow:
         raise NotImplementedError
 
     def window(self, f0: int, f1: int, KP: int) -> Dict[str, np.ndarray]:
-        V = self.V
-        starts = np.full((V, KP), f1, dtype=np.int32)
-        vals = {
-            "a": np.zeros((V, KP), np.float32),
-            "b": np.zeros((V, KP), np.float32),
-            "t_step": np.zeros((V, KP), np.float32),
-            "t0": np.zeros((V, KP), np.float32),
-            "shape": np.zeros((V, KP), np.int32),
-            "seg_start": np.zeros((V, KP), np.int32),
-        }
-        for v in range(V):
+        starts, vals = new_painter_window(self.V, KP, f1)
+        for v in range(self.V):
             segs = self._voice_segs(v, f1)
-            i = self._cursor[v]
-            if i >= len(segs):
-                i = max(0, len(segs) - 1)
-            while i + 1 < len(segs) and segs[i + 1][0] <= f0:
-                i += 1
-            self._cursor[v] = i
-            j = i
-            while j + 1 < len(segs) and segs[j + 1][0] < f1:
-                j += 1
-            count = j - i + 1
-            if count > KP:
-                raise RuntimeError(
-                    f"live block needs {count} slots > slot_capacity={KP}; "
-                    "raise slot_capacity"
-                )
-            for n in range(KP):
-                s, a, b, t_step, t0, shape = segs[min(i + n, j)]
-                if n < count:
-                    starts[v, n] = s
-                vals["a"][v, n] = a
-                vals["b"][v, n] = b
-                vals["t_step"][v, n] = t_step
-                vals["t0"][v, n] = t0
-                vals["shape"][v, n] = shape
-                vals["seg_start"][v, n] = s
+            self._cursor[v] = painter_segs_window(
+                segs, self._cursor[v], f0, f1, KP, starts, vals, v)
         return {"starts": starts, **vals}
 
 
@@ -194,37 +246,9 @@ class IncPhase:
         self.open[v] = (start, inc)
 
     def window(self, f0: int, f1: int, KP: int) -> Dict[str, np.ndarray]:
-        V = self.V
-        out_starts = np.full((V, KP), f1, dtype=np.int32)
         dtypes = {"ifreq": np.uint32, "A": np.uint32, "valid": np.float32}
-        out = {
-            name: np.zeros((V, KP), dtypes.get(name, np.float32))
-            for name in self.vals
-        }
-        for v in range(V):
-            starts = self.starts[v]
-            if not starts:
-                continue
-            i = min(self._cursor[v], len(starts) - 1)
-            while i + 1 < len(starts) and starts[i + 1] <= f0:
-                i += 1
-            self._cursor[v] = i
-            j = i
-            while j + 1 < len(starts) and starts[j + 1] < f1:
-                j += 1
-            count = j - i + 1
-            if count > KP:
-                raise RuntimeError(
-                    f"live block needs {count} slots > slot_capacity={KP}; "
-                    "raise slot_capacity"
-                )
-            for n in range(KP):
-                k = min(i + n, j)
-                if n < count:
-                    out_starts[v, n] = starts[k]
-                for name in self.vals:
-                    out[name][v, n] = self.vals[name][v][k]
-        return {"starts": out_starts, **out}
+        return columns_window(self.starts, self.vals, dtypes, self._cursor,
+                              f0, f1, KP)
 
 
 class IncActiveFrom:

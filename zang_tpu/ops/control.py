@@ -367,6 +367,64 @@ class EnvelopeWalkStream:
                 w.paint_flat(pos, e, 0.0)
 
 
+class PortamentoWalkStream:
+    """Streaming form of the portamento compiler (one segment at a time,
+    carried painter walk) — feeds the incremental live planner."""
+
+    def __init__(self, sample_rate: float, porta_params_fn) -> None:
+        self.w = _PainterWalk(sample_rate)
+        self.fn = porta_params_fn
+        self.k = 0
+        self.w.emit_const(0, 0.0)
+
+    @property
+    def segs(self) -> List[Seg]:
+        return self.w.segs
+
+    def snapshot(self) -> tuple:
+        return (self.k, self.w.snapshot())
+
+    def restore(self, snap: tuple) -> None:
+        self.k, wsnap = snap
+        self.w.restore(wsnap)
+
+    def feed(self, s: int, e: int, reset: bool, params: dict) -> None:
+        k = self.k
+        self.k += 1
+        if e <= s:
+            return
+        p = self.fn(k, params)
+        w = self.w
+        if p["note_on"] and p.get("prev_note_on", False):
+            curve = p["curve"]
+        else:
+            curve = PaintCurve.instantaneous()
+        if p["note_on"] and reset:
+            w.new_curve()
+        pos, fin = w.paint_toward(s, e, curve, p["goal"])
+        if fin:
+            w.paint_flat(pos, e, p["goal"])
+
+
+class GateWalkStream:
+    """Streaming gate compiler: per-segment constant, no painter state."""
+
+    def __init__(self, gate_fn=None) -> None:
+        self.gate_fn = gate_fn or (lambda p: bool(p["note_on"]))
+        self.segs: List[Seg] = [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)]
+
+    def snapshot(self) -> int:
+        return len(self.segs)
+
+    def restore(self, snap: int) -> None:
+        del self.segs[snap:]
+
+    def feed(self, s: int, e: int, reset: bool, params: dict) -> None:
+        val = 1.0 if self.gate_fn(params) else 0.0
+        if self.segs[-1][1] != val:
+            self.segs.append((int(s), val, 0.0, 0.0, 0.0, SHAPE_CONST))
+
+
 # ---------------------------------------------------------------------------
 # Portamento compiler (src/modules/Portamento.zig).
 
@@ -378,25 +436,12 @@ def compile_portamento(
 ) -> List[Seg]:
     """porta_params_fn(segment_index, note_params) -> dict with curve
     (PaintCurve), goal, note_on, prev_note_on."""
-    w = _PainterWalk(sample_rate)
-    w.emit_const(0, 0.0)
+    st = PortamentoWalkStream(sample_rate, porta_params_fn)
     for k in range(len(tl.starts)):
         s = int(tl.starts[k])
         e = int(tl.starts[k + 1]) if k + 1 < len(tl.starts) else tl.total
-        if e <= s:
-            continue
-        p = porta_params_fn(k, tl.params[k])
-        reset = bool(tl.resets[k])
-        if p["note_on"] and p.get("prev_note_on", False):
-            curve = p["curve"]
-        else:
-            curve = PaintCurve.instantaneous()
-        if p["note_on"] and reset:
-            w.new_curve()
-        pos, fin = w.paint_toward(s, e, curve, p["goal"])
-        if fin:
-            w.paint_flat(pos, e, p["goal"])
-    return w.segs
+        st.feed(s, e, bool(tl.resets[k]), tl.params[k])
+    return st.segs
 
 
 # ---------------------------------------------------------------------------
@@ -434,93 +479,125 @@ def compile_curve(
     maps onto painter segments (linear -> SHAPE_LINEAR with t = x, smoothstep
     -> SHAPE_SMOOTHSTEP), within ~1 ulp of the reference's accumulation.
     """
-    shape_id = SHAPE_LINEAR if function == "linear" else SHAPE_SMOOTHSTEP
-    total = tl.total
-    segs: List[Seg] = [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)]
+    st = CurveWalkStream(points, function, sample_rate, block_size)
+    K = len(tl.starts)
+    for k in range(K):
+        s = int(tl.starts[k])
+        e = int(tl.starts[k + 1]) if k + 1 < K else tl.total
+        st.feed_partial(s, e, bool(tl.resets[k]))
+    return st.segs
 
-    # module state (reset on note_id_changed)
-    t = F32(0.0)
-    current_song_note = 0
-    current_song_note_offset = 0
-    next_song_note = 0
 
-    reset_frames = {int(s): bool(r) for s, r in zip(tl.starts, tl.resets)}
-    first_active = tl.first_active
+class CurveWalkStream:
+    """Streaming curve compiler: the reference's per-block node walk
+    (Curve.zig:126-238) with the module state (t clock + song-note cursors)
+    carried, fed one timeline-segment range at a time.
 
-    def emit_const(s, v):
+    Span structure is identical to the batch walk: [first_active, ...) is
+    partitioned at block boundaries and segment starts (every segment start
+    is a feed boundary); before the first feed nothing advances (the batch
+    walk's pre-first_active spans emit merged zeros).
+
+    feed_partial(s, e, reset) may be called repeatedly for the SAME segment
+    with a growing e — the live planner commits a held note's prefix block
+    by block (advance_open) and paints the rest provisionally; `pos` tracks
+    how far the segment has been consumed, and the reset applies only on
+    first contact."""
+
+    def __init__(self, points, function: str, sample_rate: float,
+                 block_size: int = 1024) -> None:
+        self.points = points
+        self.shape_id = SHAPE_LINEAR if function == "linear" else SHAPE_SMOOTHSTEP
+        self.sr = sample_rate
+        self.block = block_size
+        self.segs: List[Seg] = [(0, 0.0, 0.0, 0.0, 0.0, SHAPE_CONST)]
+        self.t = F32(0.0)
+        self.csn = 0  # current_song_note
+        self.csn_off = 0  # current_song_note_offset
+        self.nsn = 0  # next_song_note
+        self.pos: Optional[int] = None  # processed up to (None = pre-active)
+
+    def snapshot(self) -> tuple:
+        return (len(self.segs), self.t, self.csn, self.csn_off, self.nsn,
+                self.pos)
+
+    def restore(self, snap: tuple) -> None:
+        nsegs, self.t, self.csn, self.csn_off, self.nsn, self.pos = snap
+        del self.segs[nsegs:]
+
+    def _emit_const(self, s, v):
+        segs = self.segs
         if not segs or segs[-1][1] != v or segs[-1][2] != 0.0:
             segs.append((s, float(v), 0.0, 0.0, 0.0, SHAPE_CONST))
 
-    block_start = 0
-    while block_start < total:
-        out_len = min(block_size, total - block_start)
-        # reset check: note_id_changed at any timeline segment starting in
-        # this block resets the cursor at that segment's start; the reference
-        # resets at paint-call granularity (block∩segment spans). We walk
-        # spans within the block.
-        span_bounds = [block_start]
-        for s0 in sorted(reset_frames):
-            if block_start < s0 < block_start + out_len:
-                span_bounds.append(int(s0))
-        span_bounds.append(block_start + out_len)
-        for si in range(len(span_bounds) - 1):
-            s0, s1 = span_bounds[si], span_bounds[si + 1]
-            if s1 <= s0:
-                continue
-            if s0 < first_active:
-                emit_const(s0, 0.0)
-                continue
-            if reset_frames.get(s0, False):
-                t = F32(0.0)
-                current_song_note = 0
-                current_song_note_offset = 0
-                next_song_note = 0
-            out_len_span = s1 - s0
-            # getCurveSpanNodes (Curve.zig:126-176)
-            nodes = []
-            buf_time = F32(F32(out_len_span) / F32(sample_rate))
-            end_t = F32(t + buf_time)
-            if current_song_note < next_song_note:
-                nodes.append((current_song_note_offset, points[current_song_note][1]))
-            one_past = False
-            for idx in range(next_song_note, len(points)):
-                note_t = F32(points[idx][0])
-                if note_t >= end_t:
-                    if not one_past:
-                        one_past = True
-                    else:
-                        break
-                f = F32(F32(note_t - t) / buf_time)
-                rel = int(F32(f * F32(out_len_span)))
-                if nodes and nodes[-1][0] == rel:
-                    nodes.pop()
-                nodes.append((rel, points[idx][1]))
-                if not one_past:
-                    current_song_note = next_song_note
-                    current_song_note_offset = 0
-                    next_song_note += 1
-            t = F32(t + buf_time)
-            current_song_note_offset -= out_len_span
+    def feed_partial(self, s: int, e: int, reset: bool) -> None:
+        if self.pos is None:
+            self.pos = s
+        start = max(self.pos, s)
+        if e <= start:
+            return
+        if reset and start == s:
+            self.t = F32(0.0)
+            self.csn = 0
+            self.csn_off = 0
+            self.nsn = 0
+        pos = start
+        while pos < e:
+            span_end = min(e, (pos // self.block + 1) * self.block)
+            self._span(pos, span_end)
+            pos = span_end
+        self.pos = e
 
-            # getNextCurveSpan (Curve.zig:180-238) -> painter segments
-            start = 0
-            while start < out_len_span:
-                cs = _next_curve_span(nodes, start, out_len_span)
-                cs_start, cs_end, values = cs
-                if values is None:
-                    emit_const(s0 + cs_start, 0.0)
+    def _span(self, s0: int, s1: int) -> None:
+        points, sample_rate, segs = self.points, self.sr, self.segs
+        t, current_song_note = self.t, self.csn
+        current_song_note_offset, next_song_note = self.csn_off, self.nsn
+        out_len_span = s1 - s0
+        # getCurveSpanNodes (Curve.zig:126-176)
+        nodes = []
+        buf_time = F32(F32(out_len_span) / F32(sample_rate))
+        end_t = F32(t + buf_time)
+        if current_song_note < next_song_note:
+            nodes.append((current_song_note_offset, points[current_song_note][1]))
+        one_past = False
+        for idx in range(next_song_note, len(points)):
+            note_t = F32(points[idx][0])
+            if note_t >= end_t:
+                if not one_past:
+                    one_past = True
                 else:
-                    (f0, v0), (f1, v1) = values
-                    start_x = F32(F32(cs_start - f0) / F32(f1 - f0))
-                    delta = F32(F32(v1) - F32(v0))
-                    x_step = F32(F32(1.0) / F32(f1 - f0))
-                    segs.append((
-                        s0 + cs_start, float(F32(v0)), float(delta),
-                        float(x_step), float(F32(start_x - x_step)), shape_id,
-                    ))
-                start = cs_end
-        block_start += out_len
-    return segs
+                    break
+            f = F32(F32(note_t - t) / buf_time)
+            rel = int(F32(f * F32(out_len_span)))
+            if nodes and nodes[-1][0] == rel:
+                nodes.pop()
+            nodes.append((rel, points[idx][1]))
+            if not one_past:
+                current_song_note = next_song_note
+                current_song_note_offset = 0
+                next_song_note += 1
+        t = F32(t + buf_time)
+        current_song_note_offset -= out_len_span
+
+        # getNextCurveSpan (Curve.zig:180-238) -> painter segments
+        start = 0
+        while start < out_len_span:
+            cs = _next_curve_span(nodes, start, out_len_span)
+            cs_start, cs_end, values = cs
+            if values is None:
+                self._emit_const(s0 + cs_start, 0.0)
+            else:
+                (f0, v0), (f1, v1) = values
+                start_x = F32(F32(cs_start - f0) / F32(f1 - f0))
+                delta = F32(F32(v1) - F32(v0))
+                x_step = F32(F32(1.0) / F32(f1 - f0))
+                segs.append((
+                    s0 + cs_start, float(F32(v0)), float(delta),
+                    float(x_step), float(F32(start_x - x_step)), self.shape_id,
+                ))
+            start = cs_end
+        self.t, self.csn = t, current_song_note
+        self.csn_off, self.nsn = current_song_note_offset, next_song_note
 
 
 def _next_curve_span(nodes, dest_start, dest_end):

@@ -120,31 +120,38 @@ class ScriptInstrument:
         self.module_index = compiled.find_module(module_name)
         self.param_map = param_map or {}
 
-    def plan(self, timelines: List[SubvoiceTimeline], sample_rate: float):
-        p = _Planner(self.compiled, float(sample_rate), len(timelines))
-        root = _make_scale("note", timelines)
-        p.scales["note"] = root
-
+    def root_bindings(self, timelines: List[SubvoiceTimeline], K: int,
+                      sample_rate: float) -> Dict[int, "Val"]:
+        """Exported-module param bindings from note params (shared by the
+        batch plan and the incremental live planner's walks)."""
         module = self.compiled.modules[self.module_index]
         bindings: Dict[int, Val] = {}
         for i, param in enumerate(module.params):
             if param.name == "sample_rate":
-                arr = np.full((len(timelines), root.K), F32(sample_rate))
+                arr = np.full((len(timelines), K), F32(sample_rate))
                 bindings[i] = Val("float", arr=arr, scale="note")
                 continue
             key = self.param_map.get(param.name, param.name)
             pt = param.param_type.kind
             if pt == "boolean":
-                arr = _pad_param(timelines, root.K, lambda pp: bool(pp[key]), dtype=bool)
+                arr = _pad_param(timelines, K, lambda pp: bool(pp[key]), dtype=bool)
                 bindings[i] = Val("bool", arr=arr, scale="note")
             elif pt in ("constant", "constant_or_buffer"):
-                arr = _pad_param(timelines, root.K, lambda pp: F32(pp[key]))
+                arr = _pad_param(timelines, K, lambda pp: F32(pp[key]))
                 bindings[i] = Val("float", arr=arr, scale="note")
             else:
                 raise NotImplementedError(
                     f"driving exported param {param.name!r} of type {pt} from "
                     "note params is not supported"
                 )
+        return bindings
+
+    def plan(self, timelines: List[SubvoiceTimeline], sample_rate: float):
+        p = _Planner(self.compiled, float(sample_rate), len(timelines))
+        root = _make_scale("note", timelines)
+        p.scales["note"] = root
+
+        bindings = self.root_bindings(timelines, root.K, float(sample_rate))
         self._ir = p.inline_module(self.module_index, bindings, "note")
         self._planner = p
         self._state_specs = p.state_specs
@@ -153,6 +160,13 @@ class ScriptInstrument:
             prog[f"scale_{name}"] = scale.seg_program()
         prog.update(p.programs)
         return prog
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        """Incremental live planner (script/liveplan.py): O(events) host work
+        per block instead of re-walking the whole session's plan."""
+        from .liveplan import ScriptLivePlanner
+
+        return ScriptLivePlanner(self, polyphony, float(sample_rate))
 
     def init_state(self, num_voices: int):
         state = {}
@@ -183,7 +197,8 @@ class ScriptInstrument:
 
 
 class _Planner:
-    def __init__(self, compiled: CompiledScript, sample_rate: float, num_voices: int):
+    def __init__(self, compiled: CompiledScript, sample_rate: float, num_voices: int,
+                 live=None):
         self.c = compiled
         self.sr = sample_rate
         self.V = num_voices
@@ -193,6 +208,9 @@ class _Planner:
         self.temp_counter = 0
         self.site_counter = 0
         self.col_counter = 0
+        # live: script.liveplan backend — painter/osc/track sites route
+        # through carried incremental state instead of full-timeline compiles
+        self.live = live
 
     def fresh_temp(self) -> int:
         self.temp_counter += 1
@@ -410,6 +428,9 @@ class _InlineEnv:
     def _emit_painter(self, site: str, segs: List[list], dest):
         self.p.programs[f"prog_{site}"] = control.painter_program(
             segs, self.scale.timelines[0].total)
+        self._painter_op(site, dest)
+
+    def _painter_op(self, site: str, dest):
         self.ops.append({"op": "painter", "prog": f"prog_{site}", "dest": dest,
                          "ambient": self.scale_name})
 
@@ -424,22 +445,35 @@ class _InlineEnv:
             release = self._paint_curve_fn(named["release"])
             sustain = self.local_arr(named["sustain_volume"])
             note_on = self.local_arr(named["note_on"])
+
+            def env_resolver(v, k):
+                return {
+                    "attack": attack(v, k), "decay": decay(v, k),
+                    "release": release(v, k),
+                    "sustain_volume": float(sustain[v, k]),
+                    "note_on": bool(note_on[v, k]),
+                }
+
+            if self.p.live is not None:
+                self.p.live.painter_site(site, self.scale_name, "envelope",
+                                         env_resolver)
+                self._painter_op(site, dest)
+                return
             segs = [
                 control.compile_envelope(
-                    tl, sr,
-                    lambda k, p, v=v: {
-                        "attack": attack(v, k), "decay": decay(v, k),
-                        "release": release(v, k),
-                        "sustain_volume": float(sustain[v, k]),
-                        "note_on": bool(note_on[v, k]),
-                    },
-                )
+                    tl, sr, lambda k, p, v=v: env_resolver(v, k))
                 for v, tl in enumerate(scale.timelines)
             ]
             self._emit_painter(site, segs, dest)
             return
         if name == "Gate":
             note_on = self.local_arr(named["note_on"])
+            if self.p.live is not None:
+                self.p.live.painter_site(
+                    site, self.scale_name, "gate",
+                    lambda v, k: {"note_on": bool(note_on[v, k])})
+                self._painter_op(site, dest)
+                return
             segs = []
             for v, tl in enumerate(scale.timelines):
                 s = [(0, 0.0, 0.0, 0.0, 0.0, control.SHAPE_CONST)]
@@ -456,15 +490,22 @@ class _InlineEnv:
             goal = self.local_arr(named["goal"])
             note_on = self.local_arr(named["note_on"])
             prev_note_on = self.local_arr(named["prev_note_on"])
+
+            def porta_resolver(v, k):
+                return {
+                    "curve": curve_fn(v, k), "goal": float(goal[v, k]),
+                    "note_on": bool(note_on[v, k]),
+                    "prev_note_on": bool(prev_note_on[v, k]),
+                }
+
+            if self.p.live is not None:
+                self.p.live.painter_site(site, self.scale_name, "portamento",
+                                         porta_resolver)
+                self._painter_op(site, dest)
+                return
             segs = [
                 control.compile_portamento(
-                    tl, sr,
-                    lambda k, p, v=v: {
-                        "curve": curve_fn(v, k), "goal": float(goal[v, k]),
-                        "note_on": bool(note_on[v, k]),
-                        "prev_note_on": bool(prev_note_on[v, k]),
-                    },
-                )
+                    tl, sr, lambda k, p, v=v: porta_resolver(v, k))
                 for v, tl in enumerate(scale.timelines)
             ]
             self._emit_painter(site, segs, dest)
@@ -474,6 +515,10 @@ class _InlineEnv:
             curve_def = self.p.c.curves[named["curve"].index]
             points = [(float(cp.t.value), float(cp.value.value))
                       for cp in curve_def.points]
+            if self.p.live is not None:
+                self.p.live.curve_site(site, self.scale_name, points, fn_label)
+                self._painter_op(site, dest)
+                return
             segs = [control.compile_curve(tl, points, fn_label, sr)
                     for tl in scale.timelines]
             self._emit_painter(site, segs, dest)
@@ -489,11 +534,15 @@ class _InlineEnv:
             if name in ("PulseOsc", "TriSawOsc"):
                 entry["color"] = self.buf_ref(named["color"])
             if freq.kind == "float":
-                plan = oscillators.plan_phase_segments(
-                    scale.timelines, None, sr, guard_div8=guard,
-                    freqs_override=self.local_arr(freq))
-                for cname, carr in plan.values.items():
-                    scale.add_column(f"{site}_{cname}", carr)
+                if self.p.live is not None:
+                    self.p.live.osc_site(site, self.scale_name,
+                                         self.local_arr(freq), guard)
+                else:
+                    plan = oscillators.plan_phase_segments(
+                        scale.timelines, None, sr, guard_div8=guard,
+                        freqs_override=self.local_arr(freq))
+                    for cname, carr in plan.values.items():
+                        scale.add_column(f"{site}_{cname}", carr)
                 entry["mode"] = "seg"
             else:
                 entry["mode"] = "cumsum"
@@ -579,13 +628,18 @@ class _InlineEnv:
 
         outer = self.scale
         total = outer.timelines[0].total
-        inner_tls = [
-            _simulate_track(self.p.sr, outer.timelines[v], track, note_values,
-                            speed_arr[v],
-                            note_on_arr[v] if note_on_arr is not None else None,
-                            total)
-            for v in range(self.p.V)
-        ]
+        if self.p.live is not None:
+            inner_tls = self.p.live.track_site(
+                site, self.scale_name, track, note_values, speed_arr,
+                note_on_arr)
+        else:
+            inner_tls = [
+                _simulate_track(self.p.sr, outer.timelines[v], track, note_values,
+                                speed_arr[v],
+                                note_on_arr[v] if note_on_arr is not None else None,
+                                total)
+                for v in range(self.p.V)
+            ]
         self.p.scales[site] = _make_scale(site, inner_tls)
         inner_scale = self.p.scales[site]
 

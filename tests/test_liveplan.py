@@ -144,3 +144,30 @@ def test_same_frame_collision():
     a, b = run("1"), run("0")
     assert np.abs(a).max() > 0
     np.testing.assert_array_equal(a, b)
+
+
+def test_slot_capacity_auto_grows():
+    """A dense event block overflows the program window: the session grows
+    slot_capacity and re-jits instead of crashing (the reference silently
+    drops events past its 32-impulse cap; we keep them all)."""
+
+    def run(cap):
+        # monophonic + staggered impulse frames: 8 segments in one block on
+        # one voice (same-frame events would collapse via later-wins)
+        sess = LiveSession([(ti.NiceInstrument(0.3), 1)], SR,
+                           block_size=1024, slot_capacity=cap)
+        for i, freq in enumerate([220.0, 262.0, 330.0, 392.0,
+                                  440.0, 523.0, 660.0, 784.0]):
+            sess.push_event(0, {"freq": freq, "note_on": True},
+                            impulse_frame=i * 120)
+        out = [sess.render_block()]
+        sess.push_event(0, {"freq": 784.0, "note_on": False})
+        out += [sess.render_block() for _ in range(6)]
+        return np.concatenate(out, axis=1), sess.slot_capacity
+
+    small, grown = run(2)
+    big, kept = run(32)
+    assert grown > 2  # it actually grew
+    assert kept == 32
+    # different KP -> different pconst sum trees -> 1-ulp reassociation noise
+    np.testing.assert_allclose(small, big, rtol=0, atol=2e-6)

@@ -228,6 +228,23 @@ class LiveSession:
             return type(prog)(self._window_slice(v, f0, f1, total) for v in prog)
         return prog
 
+    def _part_progs(self, part: _PartState, f0: int, f1: int):
+        if part.planner is not None:
+            # incremental path: planners carry the walk state, so the
+            # window costs O(slot_capacity), independent of session age
+            return part.planner.window(f0, f1, self.slot_capacity)
+        # plans are deterministic in (segments, horizon), so blocks with
+        # no new events reuse the cached plan — steady-state host cost is
+        # just the window slice, not O(session length) re-planning
+        key = (tuple(len(sv) for sv in part.segs), self._horizon)
+        if part.plan_cache is not None and part.plan_cache[0] == key:
+            plan = part.plan_cache[1]
+        else:
+            tls = self._timelines(part, self._horizon)
+            plan = part.instrument.plan(tls, self.sample_rate)
+            part.plan_cache = (key, plan)
+        return self._window_slice(plan, f0, f1, self._horizon)
+
     def _make_step(self):
         instruments = [p.instrument for p in self.parts]
         num_channels = self.num_channels
@@ -266,29 +283,22 @@ class LiveSession:
             part._pending = iap
         while self._horizon < f1:
             self._horizon *= 2
-        progs = []
         for part in self.parts:
             self._extend_segments(part)
-            if part.planner is not None:
-                # incremental path: planners carry the walk state, so the
-                # window costs O(slot_capacity), independent of session age
-                progs.append(
-                    part.planner.window(f0, f1, self.slot_capacity)
-                )
-                if part.dev_state is None:
-                    part.dev_state = part.instrument.init_state(part.polyphony)
-                continue
-            # plans are deterministic in (segments, horizon), so blocks with
-            # no new events reuse the cached plan — steady-state host cost is
-            # just the window slice, not O(session length) re-planning
-            key = (tuple(len(sv) for sv in part.segs), self._horizon)
-            if part.plan_cache is not None and part.plan_cache[0] == key:
-                plan = part.plan_cache[1]
-            else:
-                tls = self._timelines(part, self._horizon)
-                plan = part.instrument.plan(tls, self.sample_rate)
-                part.plan_cache = (key, plan)
-            progs.append(self._window_slice(plan, f0, f1, self._horizon))
+        while True:
+            try:
+                progs = [self._part_progs(part, f0, f1) for part in self.parts]
+                break
+            except RuntimeError as e:
+                if "slot_capacity" not in str(e) or self.slot_capacity >= 1024:
+                    raise
+                # a dense block overflowed the program window — grow and
+                # retry (the jitted step re-specializes on the new shapes).
+                # The reference host degrades by silently dropping events
+                # past its 32-impulse cap (notes.zig:108-118); we keep every
+                # event and pay one re-jit instead.
+                self.slot_capacity *= 2
+        for part in self.parts:
             if part.dev_state is None:
                 part.dev_state = part.instrument.init_state(part.polyphony)
         if self._step is None:

@@ -454,18 +454,21 @@ class ScriptLivePlanner:
         self._walk("commit", f1c, floor_f1)
         snap = self._snapshot_all()
         self._walk("prov", f1c, floor_f1)
-
-        prog = {"active_from": self.active_from.copy()}
-        for name in self.scale_order:
-            sc = self.scales[name]
-            prog[f"scale_{name}"] = columns_window(
-                sc.starts, sc.cols, sc.col_dtypes, sc.cursors, f0, f1, KP)
-        for site, st in self.painter_sites.items():
-            starts, vals = new_painter_window(self.V, KP, f1)
-            for v in range(self.V):
-                st.cursors[v] = painter_segs_window(
-                    st.streams[v].segs, st.cursors[v], f0, f1, KP,
-                    starts, vals, v)
-            prog[f"prog_{site}"] = {"starts": starts, **vals}
-        self._restore_all(snap)
+        try:
+            prog = {"active_from": self.active_from.copy()}
+            for name in self.scale_order:
+                sc = self.scales[name]
+                prog[f"scale_{name}"] = columns_window(
+                    sc.starts, sc.cols, sc.col_dtypes, sc.cursors, f0, f1, KP)
+            for site, st in self.painter_sites.items():
+                starts, vals = new_painter_window(self.V, KP, f1)
+                for v in range(self.V):
+                    st.cursors[v] = painter_segs_window(
+                        st.streams[v].segs, st.cursors[v], f0, f1, KP,
+                        starts, vals, v)
+                prog[f"prog_{site}"] = {"starts": starts, **vals}
+        finally:
+            # restore even when a window overflows slot capacity — the caller
+            # retries with a larger KP against un-corrupted carried state
+            self._restore_all(snap)
         return prog

@@ -352,3 +352,82 @@ class TestPallasSVFGated:
         rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
         assert rms_db < -120.0, rms_db
         assert np.abs(np.asarray(lp) - np.asarray(la)).max() < 1e-5
+
+
+class TestPallasSVFTable:
+    """Table-cut variant (ops/pallas_svf.svf_filter_pallas_table): cutoff +
+    activity gate from per-lane-block boundary tables instead of [V, n]
+    arrays. Interpret mode; the real-chip path is exercised by bench
+    (310k voices/chip at RTF=1, checksum-identical to the array path)."""
+
+    def _tables(self, rng, V, LANES, T, S, t0):
+        tb = np.zeros((V, LANES, S), np.int64)
+        cutv = np.zeros((V, LANES, S), np.float32)
+        for v in range(V):
+            for j in range(LANES):
+                bs = np.sort(rng.integers(0, T, S - 1)) + t0 + j * T
+                tb[v, j] = [-(2**31)] + list(bs)
+                cutv[v, j] = rng.uniform(0.05, 0.9, S).astype(np.float32)
+        return tb, cutv
+
+    def test_matches_array_kernel_with_active_from(self):
+        from zang_tpu.ops.pallas_svf import (
+            svf_filter_pallas, svf_filter_pallas_table)
+        from zang_tpu.ops.segprog import eval_tiled_chunk
+
+        rng = np.random.default_rng(0)
+        V, LANES, T, S, t0 = 6, 128, 16, 3, 4096
+        n = LANES * T
+        tb, cutv = self._tables(rng, V, LANES, T, S, t0)
+        af = rng.integers(t0, t0 + n // 2, V).astype(np.int64)
+        x = rng.standard_normal((V, n)).astype(np.float32) * 0.3
+        l0 = rng.standard_normal(V).astype(np.float32) * 0.1
+        b0 = rng.standard_normal(V).astype(np.float32) * 0.1
+
+        t_idx = np.arange(t0, t0 + n, dtype=np.int32)
+        cut_full = np.asarray(eval_tiled_chunk(
+            {"tb": jnp.asarray(tb.astype(np.int32)),
+             "cut": jnp.asarray(cutv)}, jnp.asarray(t_idx))["cut"])
+        act = t_idx[None, :] >= af[:, None]
+        la, ba, outa = svf_filter_pallas(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(cut_full), 0.3, jnp.asarray(act), interpret=True)
+        lt, bt, outt = svf_filter_pallas_table(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(tb.astype(np.int32)), jnp.asarray(cutv), 0.3,
+            t0, jnp.asarray(af.astype(np.int32)), interpret=True)
+        # end states bit-equal; outputs differ only at ulp level through the
+        # homogeneous-basis block seams (same class as the gated variant)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lt))
+        np.testing.assert_array_equal(np.asarray(ba), np.asarray(bt))
+        d = np.abs(np.asarray(outa) - np.asarray(outt))
+        assert d.max() < 2e-6, d.max()
+
+    def test_fallback_matches_direct(self):
+        """ops.filters.svf_filter_table's CPU fallback == evaluating the
+        table and calling svf_filter directly."""
+        from zang_tpu.ops.filters import svf_filter, svf_filter_table
+        from zang_tpu.ops.segprog import eval_tiled_chunk
+
+        rng = np.random.default_rng(1)
+        V, LANES, T, S, t0 = 3, 128, 8, 2, 1024
+        n = LANES * T
+        tb, cutv = self._tables(rng, V, LANES, T, S, t0)
+        af = rng.integers(t0, t0 + n // 3, V).astype(np.int64)
+        x = rng.standard_normal((V, n)).astype(np.float32) * 0.3
+        l0 = np.zeros(V, np.float32)
+        b0 = np.zeros(V, np.float32)
+
+        lt, bt, outt = svf_filter_table(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(tb.astype(np.int32)), jnp.asarray(cutv), 0.4,
+            t0, jnp.asarray(af.astype(np.int32)))
+        t_idx = np.arange(t0, t0 + n, dtype=np.int32)
+        cut_full = np.asarray(eval_tiled_chunk(
+            {"tb": jnp.asarray(tb.astype(np.int32)),
+             "cut": jnp.asarray(cutv)}, jnp.asarray(t_idx))["cut"])
+        act = t_idx[None, :] >= af[:, None]
+        la, ba, outa = svf_filter(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(cut_full), 0.4, jnp.asarray(act))
+        np.testing.assert_array_equal(np.asarray(outa), np.asarray(outt))

@@ -179,17 +179,39 @@ class NiceInstrument:
         }
 
     def render(self, state, prog, ctx):
+        import os
+
         act = _active(prog, ctx)
-        vals = eval_chunk(prog["phase"], ctx.t_idx)
+        phase = prog["phase"]
+        # table-cut path: hand the filter the piecewise cutoff as boundary
+        # tables (ops.filters.svf_filter_table) instead of materializing a
+        # [V, n] array — on TPU the Pallas kernel then skips two full HBM
+        # streams (cut + act). Requires the tiled chunk format.
+        table = (
+            isinstance(phase, dict) and "tb" in phase
+            and os.environ.get("ZANG_SVF_TABLE", "1") != "0"
+        )
+        if table:
+            vals = eval_chunk(
+                {k: v for k, v in phase.items() if k != "cut"}, ctx.t_idx)
+        else:
+            vals = eval_chunk(phase, ctx.t_idx)
         cnt, ifreq, valid = oscillators.phase_from_chunk(vals, ctx.t_idx)
         color = self.color
         if np.ndim(color) == 1:  # per-voice -> broadcast over samples
             color = jnp.asarray(color, jnp.float32)[:, None]
         osc = oscillators.pulse_wave(cnt, ifreq, color, valid & act)
         osc = osc * jnp.float32(0.5)
-        l, b, filtered = filters.svf_filter(
-            state["l"], state["b"], osc, "low_pass", vals["cut"], 0.7, act
-        )
+        if table:
+            l, b, filtered = filters.svf_filter_table(
+                state["l"], state["b"], osc, "low_pass",
+                phase["tb"], phase["cut"], 0.7, ctx.t_idx[0],
+                jnp.asarray(prog["active_from"]),
+            )
+        else:
+            l, b, filtered = filters.svf_filter(
+                state["l"], state["b"], osc, "low_pass", vals["cut"], 0.7, act
+            )
         env = _env(prog, ctx)
         return {"l": l, "b": b}, env * filtered
 

@@ -55,6 +55,49 @@ def _svf_step(l, b, inp, cut, res):
     return l, b, h
 
 
+def svf_filter_table(
+    l0: Array,
+    b0: Array,
+    x: Array,
+    filter_type: str,
+    tb: Array,
+    cutv: Array,
+    res: Union[Array, float],
+    t0,
+    active_from: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """SVF with a piecewise-constant cutoff given as per-tile boundary
+    tables (ops.segprog tiled format) instead of a [V, n] array.
+
+    tb/cutv: [V, nt, S] absolute boundary frames / raw cutoff per slot;
+    t0: absolute frame of x[:, 0]; active_from: [V] first-active frame.
+    On TPU with nt == 128 lane blocks this avoids materializing (and
+    streaming through HBM twice) both the cutoff and the activity mask —
+    the Pallas kernels evaluate S selects per sample from KB-sized tables.
+    Elsewhere it falls back to evaluating the table and calling svf_filter
+    (identical semantics)."""
+    if (
+        jax.default_backend() != "cpu"
+        and os.environ.get("ZANG_PALLAS_SVF", "1") != "0"
+        and x.ndim == 2
+    ):
+        from .pallas_svf import svf_filter_pallas_table, svf_table_supported
+
+        if svf_table_supported(x.shape, tb.shape, res):
+            return svf_filter_pallas_table(
+                l0, b0, x, filter_type, tb, cutv, res, t0, active_from)
+
+    from .segprog import eval_tiled_chunk
+
+    n = x.shape[1]
+    t_idx = jnp.int32(t0) + jnp.arange(n, dtype=jnp.int32)
+    cut = eval_tiled_chunk({"tb": tb, "cut": cutv}, t_idx)["cut"]
+    act = None
+    if active_from is not None:
+        act = t_idx[None, :] >= jnp.asarray(active_from, jnp.int32)[:, None]
+    return svf_filter(l0, b0, x, filter_type, cut, res, act)
+
+
 def svf_filter(
     l0: Array,
     b0: Array,

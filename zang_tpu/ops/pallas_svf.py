@@ -251,6 +251,256 @@ def _svf_blocks(x_t, cut_t, act_t, res, muls, l0, b0, t_rows,
     return out_t, end[0, :, -1], end[1, :, -1]
 
 
+# ---------------------------------------------------------------------------
+# Table-cut variant: cutoff (and the activity gate) come from per-lane-block
+# boundary tables instead of a materialized [V, n] array. The song/poly
+# cutoff is piecewise-constant per note segment (ops.segprog tiled format
+# "tb"/"cut" [V, nt, S] aligns with the kernel's lane blocks exactly when
+# nt == LANES), so the kernel reads ~KBs of tables instead of streaming two
+# full [V, n] f32 arrays (cut + act) through HBM twice each.
+
+
+def _cut_from_table(tb_ref, cv_ref, base_ref, i_global):
+    """Evaluate the gate-encoded cutoff for one row: select over S slots of
+    (boundary, value) per (voice, lane block). Slot 0 is always active
+    (tb = INT32_MIN); value -1.0 marks inactive (pre-active_from).
+    Tables are [S, vb, nb] — slot leading so each slice is a full
+    sublane x lane tile."""
+    S = tb_ref.shape[0]
+    i_abs = base_ref[0] + i_global  # [nb] i32 absolute frames this row
+    ce = cv_ref[0]
+    for j in range(1, S):
+        ce = jnp.where(i_abs[None, :] >= tb_ref[j], cv_ref[j], ce)
+    return _decode_gate(ce)
+
+
+def _table_summary_kernel(x_ref, tb_ref, cv_ref, base_ref, res_ref, out_ref,
+                          s_ref):
+    """Phase A with table cut (gated math: homogeneous basis columns)."""
+    step = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    t_rows = x_ref.shape[0]
+    res = res_ref[0]
+
+    @pl.when(step == 0)
+    def _():
+        z = jnp.zeros_like(s_ref[0])
+        one = z + np.float32(1.0)
+        s_ref[0], s_ref[1] = z, z
+        s_ref[2], s_ref[3] = one, z
+        s_ref[4], s_ref[5] = z, one
+
+    def body(i, carry):
+        l00, b00, l10, b10, l01, b01 = carry
+        x = _row(x_ref, i)
+        _, cut, off = _cut_from_table(tb_ref, cv_ref, base_ref,
+                                      step * t_rows + i)
+        nl00, nb00, _ = _svf_step_rows(l00, b00, x, cut, res, off)
+        dl1 = l10 + cut * b10
+        db1 = b10 - cut * (b10 * res + dl1)
+        dl1 = dl1 + cut * db1
+        db1 = db1 - cut * (db1 * res + dl1)
+        dl2 = l01 + cut * b01
+        db2 = b01 - cut * (b01 * res + dl2)
+        dl2 = dl2 + cut * db2
+        db2 = db2 - cut * (db2 * res + dl2)
+        return (nl00, nb00, dl1, db1, dl2, db2)
+
+    carry = tuple(s_ref[k] for k in range(6))
+    carry = jax.lax.fori_loop(0, t_rows, body, carry)
+    for k in range(6):
+        s_ref[k] = carry[k]
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        for k in range(6):
+            out_ref[k] = s_ref[k]
+
+
+def _table_apply_kernel(x_ref, tb_ref, cv_ref, base_ref, start_ref, res_ref,
+                        muls_ref, out_ref, end_ref, s_ref):
+    """Phase B with table cut."""
+    step = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    t_rows = x_ref.shape[0]
+    res = res_ref[0]
+    lm, bm, hm = muls_ref[0], muls_ref[1], muls_ref[2]
+
+    @pl.when(step == 0)
+    def _():
+        s_ref[0] = start_ref[0]
+        s_ref[1] = start_ref[1]
+
+    def body(i, carry):
+        l, b = carry
+        x = _row(x_ref, i)
+        m, cut, off = _cut_from_table(tb_ref, cv_ref, base_ref,
+                                      step * t_rows + i)
+        nl, nb, h = _svf_step_rows(l, b, x, cut, res, off)
+        out = nl * lm + nb * bm + h * hm
+        out_ref[pl.ds(i, 1)] = jnp.where(m, out, np.float32(0.0))[None]
+        return nl, nb
+
+    l, b = jax.lax.fori_loop(0, t_rows, body, (s_ref[0], s_ref[1]))
+    s_ref[0] = l
+    s_ref[1] = b
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        end_ref[0] = s_ref[0]
+        end_ref[1] = s_ref[1]
+
+
+@functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
+def _svf_blocks_table(x_t, tb, cv, base, res, muls, l0, b0, t_rows,
+                      interpret=False):
+    """x_t: [T, Vp, nb] f32; tb/cv: [S, Vp, nb] gate-encoded boundary
+    tables (slot-leading layout — the slot axis must stay off the TPU lane
+    dimension); base: [1, nb] i32 absolute frame of each lane block's first
+    sample. Returns (out_t, l_end [Vp], b_end [Vp])."""
+    T, Vp, nb = x_t.shape
+    S = tb.shape[0]
+    vb = min(Vp, V_TILE)
+    grid = (Vp // vb, T // t_rows)
+    row_spec = pl.BlockSpec((t_rows, vb, nb), lambda v, i: (i, v, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda v, i: (0, v, 0),
+                            memory_space=pltpu.VMEM)
+
+    table_specs = [
+        pl.BlockSpec((S, vb, nb), lambda v, i: (0, v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, vb, nb), lambda v, i: (0, v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb), lambda v, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    summaries = pl.pallas_call(
+        _table_summary_kernel,
+        grid=grid,
+        in_specs=[row_spec] + table_specs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=fixed((6, vb, nb)),
+        out_shape=jax.ShapeDtypeStruct((6, Vp, nb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((6, vb, nb), jnp.float32)],
+        interpret=interpret,
+    )(x_t, tb, cv, base, res)
+
+    l00, b00, l10, b10, l01, b01 = [summaries[k] for k in range(6)]
+    elems = (l10, l01, b10, b01, l00, b00)
+    inc = jax.lax.associative_scan(_affine2_combine, elems, axis=1)
+    ident_cols = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    exc = tuple(
+        jnp.concatenate(
+            [jnp.full((Vp, 1), iv, jnp.float32), m[:, :-1]], axis=1
+        )
+        for m, iv in zip(inc, ident_cols)
+    )
+    a, bmat, c, d, e, f = exc
+    start_l = a * l0[:, None] + bmat * b0[:, None] + e
+    start_b = c * l0[:, None] + d * b0[:, None] + f
+    start = jnp.stack([start_l, start_b])
+
+    out_t, end = pl.pallas_call(
+        _table_apply_kernel,
+        grid=grid,
+        in_specs=[row_spec] + table_specs
+        + [fixed((2, vb, nb)),
+           pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[row_spec, fixed((2, vb, nb))],
+        out_shape=[jax.ShapeDtypeStruct((T, Vp, nb), jnp.float32),
+                   jax.ShapeDtypeStruct((2, Vp, nb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, vb, nb), jnp.float32)],
+        interpret=interpret,
+    )(x_t, tb, cv, base, start, res, muls)
+
+    return out_t, end[0, :, -1], end[1, :, -1]
+
+
+def svf_table_supported(x_shape, tb_shape, res) -> bool:
+    """Table path: n split into LANES lane blocks must line up with the
+    tiled program's nt tiles (tile == n // LANES)."""
+    return (
+        len(x_shape) == 2
+        and x_shape[1] % LANES == 0
+        and x_shape[1] // LANES >= 8
+        and len(tb_shape) == 3
+        and tb_shape[1] == LANES
+        and jnp.ndim(res) == 0
+    )
+
+
+def svf_filter_pallas_table(l0, b0, x, filter_type, tb, cutv, res, t0,
+                            active_from=None, interpret=False):
+    """SVF with per-lane-block cutoff tables (ops.segprog tiled format).
+
+    tb/cutv: [V, nt=LANES, S] — absolute boundary frames (slot 0 always
+    active) and per-slot raw cutoff values. t0: absolute frame of x[:, 0].
+    active_from: [V] absolute first-active frame (None = always active).
+    Semantically identical to svf_filter_pallas with
+    cut[v, t] = cutv[last slot with tb <= t] and
+    active[v, t] = t >= active_from[v]."""
+    from .filters import FILTER_MULS
+
+    V, n = x.shape
+    T = n // LANES
+    Vp = max(-(-V // 8) * 8, 8)
+    if Vp > V_TILE:
+        Vp = -(-Vp // V_TILE) * V_TILE
+    t_rows = _pick_t_rows(T, Vp)
+
+    l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
+    cv = jnp.clip(jnp.asarray(cutv, jnp.float32), 0.0, 1.0)
+    tb = jnp.asarray(tb, jnp.int32)
+    r = jnp.float32(1.0) - jnp.clip(jnp.asarray(res, jnp.float32), 0.0, 1.0)
+
+    # fold active_from into the table: clamp boundaries to af and prepend an
+    # always-on inactive slot (value -1 -> gate-decoded to identity). At
+    # t >= af the last clamped slot covering af wins, reproducing the
+    # covering segment's value exactly.
+    if active_from is not None:
+        af = jnp.asarray(active_from, jnp.int32)[:, None, None]
+        tb = jnp.maximum(tb, af)
+    neg = jnp.full((V, LANES, 1), np.int32(-(2**31)), jnp.int32)
+    tb = jnp.concatenate([neg, tb], axis=2)
+    cv = jnp.concatenate([jnp.full((V, LANES, 1), np.float32(-1.0)), cv],
+                         axis=2)
+    # [V, nt, S1] -> [S1, Vp, nb]: slot axis leads so VMEM tiles are
+    # (voice-sublane x lane) slabs
+    tb = jnp.moveaxis(tb, 2, 0)
+    cv = jnp.moveaxis(cv, 2, 0)
+
+    def pad_v(a, fill=0):
+        if Vp == V:
+            return a
+        pad = jnp.full(a.shape[:1] + (Vp - V,) + a.shape[2:], fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=1)
+
+    def to_t(arr):
+        a = arr.reshape(V, LANES, T).transpose(2, 0, 1)
+        if Vp == V:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((T, Vp - V, LANES), jnp.float32)], axis=1
+        )
+
+    base = (jnp.int32(t0)
+            + jnp.arange(LANES, dtype=jnp.int32) * jnp.int32(T))[None, :]
+    muls = jnp.array([l_mul, b_mul, h_mul], jnp.float32)
+    l0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(l0)
+    b0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(b0)
+    out_t, l_end, b_end = _svf_blocks_table(
+        to_t(x), pad_v(tb, fill=np.int32(2**31 - 1)),
+        pad_v(cv, fill=np.float32(-1.0)), base, r.reshape(1), muls,
+        l0p, b0p, t_rows, interpret=interpret,
+    )
+    out = out_t.transpose(1, 2, 0)[:V].reshape(V, n)
+    return l_end[:V], b_end[:V], out
+
+
 def _pick_t_rows(T: int, Vp: int, budget_bytes: int = 1 << 20) -> int:
     """Largest divisor of T (<= ROW_TILE) whose [t_rows, VB, 128] f32 tile
     fits the per-input VMEM budget (VB = per-instance voice tile)."""

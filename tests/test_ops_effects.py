@@ -431,3 +431,56 @@ class TestPallasSVFTable:
             jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
             jnp.asarray(cut_full), 0.4, jnp.asarray(act))
         np.testing.assert_array_equal(np.asarray(outa), np.asarray(outt))
+
+
+class TestSamplerWindowedTaps:
+    """Windowed one-hot tap path (ops/sampler.py) vs the gather path:
+    bit-exact on looped, reverse, and one-shot playback."""
+
+    def _run(self, loop, speed, seconds=1.5, sr=44100.0):
+        from zang_tpu.core.notes import SongEvent
+        from zang_tpu.core.timeline import compile_timelines
+        from zang_tpu.graph.render import RenderCtx
+        from zang_tpu.ops import sampler as so
+        from zang_tpu.ops.segprog import eval_chunk
+        from zang_tpu.host.configs import SamplerInstrument
+
+        inst = SamplerInstrument(loop=loop, speed=speed, distort=False,
+                                 fake_sample_rate=None)
+        total = int(seconds * sr)
+        song = [SongEvent({"note_on": True}, t=0.0, note_id=1),
+                SongEvent({"note_on": True}, t=0.8, note_id=2)]
+        tls = compile_timelines(song, 1, sr, total)
+        prog = inst.plan(tls, sr)
+        assert prog["windowed"], "guard should allow the windowed path here"
+        n = 8192
+        t_idx = jnp.arange(n, dtype=jnp.int32)
+        sp = prog["sampler"]
+        window = {"starts": sp.starts[:, :].astype(np.int32),
+                  **{k: v for k, v in sp.values.items()}}
+        vals = eval_chunk(window, t_idx)
+        outs = []
+        for windowed in (False, True):
+            outs.append(np.asarray(so.eval_sampler(
+                vals, t_idx, jnp.asarray(inst.table.data_f32),
+                inst.table.num_samples, inst.ratio, loop,
+                windowed=windowed)))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        assert np.abs(outs[0]).max() > 0
+
+    def test_looped_forward(self):
+        self._run(loop=True, speed=1.3)
+
+    def test_looped_reverse(self):
+        self._run(loop=True, speed=-1.0)
+
+    def test_one_shot_runs_out(self):
+        self._run(loop=False, speed=2.0, seconds=2.5)
+
+    def test_guard_rejects_dense_retriggers(self):
+        from zang_tpu.ops.sampler import windowed_safe
+
+        starts = np.array([[0, 100, 200, 1024]])
+        assert not windowed_safe(starts, 22050, 1.0)
+        sparse = np.array([[0, 1024, 2048, 4096]])
+        assert windowed_safe(sparse, 22050, 1.0)

@@ -87,7 +87,15 @@ class SamplerInstrument:
                 values[name][v, :k] = p.values[name][0]
                 values[name][v, k:] = p.values[name][0, k - 1]
         self.ratio = float(F32(F32(self.effective_sample_rate()) / F32(sample_rate)))
-        return {"sampler": SegProgram(starts=starts, values=values)}
+        # windowed tap path (no gather): safe when every 512-sample tile
+        # holds at most two program spans (ops.sampler.windowed_safe)
+        windowed = all(
+            sampler_ops.windowed_safe(p.starts, self.table.num_samples,
+                                      self.ratio)
+            for p in progs
+        )
+        return {"sampler": SegProgram(starts=starts, values=values),
+                "windowed": windowed}
 
     def init_state(self, num_voices: int):
         return {
@@ -100,6 +108,7 @@ class SamplerInstrument:
         out = sampler_ops.eval_sampler(
             vals, ctx.t_idx, jnp.asarray(self.table.data_f32),
             self.table.num_samples, self.ratio, self.loop,
+            windowed=bool(prog.get("windowed", False)),
         )
         out = out * jnp.float32(2.5)  # example_sampler.zig:106
         if self.distort:

@@ -433,14 +433,16 @@ class TestPallasSVFTable:
         np.testing.assert_array_equal(np.asarray(outa), np.asarray(outt))
 
 
-class TestSamplerWindowedTaps:
-    """Windowed one-hot tap path (ops/sampler.py) vs the gather path:
-    bit-exact on looped, reverse, and one-shot playback."""
+class TestSamplerPallasTaps:
+    """VMEM table-lookup tap path (ops/pallas_lookup.py, interpret mode)
+    vs the gather path: bit-exact on looped, reverse, one-shot, and
+    dense-retrigger playback."""
 
-    def _run(self, loop, speed, seconds=1.5, sr=44100.0):
+    def _run(self, loop, speed, seconds=1.5, sr=44100.0, note_gap=0.8):
+        import os
+
         from zang_tpu.core.notes import SongEvent
         from zang_tpu.core.timeline import compile_timelines
-        from zang_tpu.graph.render import RenderCtx
         from zang_tpu.ops import sampler as so
         from zang_tpu.ops.segprog import eval_chunk
         from zang_tpu.host.configs import SamplerInstrument
@@ -448,11 +450,15 @@ class TestSamplerWindowedTaps:
         inst = SamplerInstrument(loop=loop, speed=speed, distort=False,
                                  fake_sample_rate=None)
         total = int(seconds * sr)
-        song = [SongEvent({"note_on": True}, t=0.0, note_id=1),
-                SongEvent({"note_on": True}, t=0.8, note_id=2)]
+        song = []
+        t, nid = 0.0, 1
+        while t < seconds - 0.2:
+            song.append(SongEvent({"note_on": True}, t=t, note_id=nid))
+            t += note_gap
+            nid += 1
         tls = compile_timelines(song, 1, sr, total)
         prog = inst.plan(tls, sr)
-        assert prog["windowed"], "guard should allow the windowed path here"
+        assert prog["windowed"]
         n = 8192
         t_idx = jnp.arange(n, dtype=jnp.int32)
         sp = prog["sampler"]
@@ -460,11 +466,15 @@ class TestSamplerWindowedTaps:
                   **{k: v for k, v in sp.values.items()}}
         vals = eval_chunk(window, t_idx)
         outs = []
-        for windowed in (False, True):
-            outs.append(np.asarray(so.eval_sampler(
-                vals, t_idx, jnp.asarray(inst.table.data_f32),
-                inst.table.num_samples, inst.ratio, loop,
-                windowed=windowed)))
+        for flag in ("0", "1"):
+            os.environ["ZANG_LOOKUP_INTERPRET"] = flag
+            try:
+                outs.append(np.asarray(so.eval_sampler(
+                    vals, t_idx, jnp.asarray(inst.table.data_f32),
+                    inst.table.num_samples, inst.ratio, loop,
+                    windowed=(flag == "1"))))
+            finally:
+                os.environ.pop("ZANG_LOOKUP_INTERPRET", None)
         np.testing.assert_array_equal(outs[0], outs[1])
         assert np.abs(outs[0]).max() > 0
 
@@ -477,10 +487,41 @@ class TestSamplerWindowedTaps:
     def test_one_shot_runs_out(self):
         self._run(loop=False, speed=2.0, seconds=2.5)
 
-    def test_guard_rejects_dense_retriggers(self):
-        from zang_tpu.ops.sampler import windowed_safe
+    def test_dense_retriggers(self):
+        # retriggers every ~18 ms: many program spans per chunk; the
+        # lookup kernel has no locality assumptions
+        self._run(loop=True, speed=0.9, note_gap=0.018)
 
-        starts = np.array([[0, 100, 200, 1024]])
-        assert not windowed_safe(starts, 22050, 1.0)
-        sparse = np.array([[0, 1024, 2048, 4096]])
-        assert windowed_safe(sparse, 22050, 1.0)
+
+class TestPallasTableLookup:
+    def test_kernel_matches_reference(self):
+        """ops/pallas_lookup.py (interpret) == direct indexing."""
+        from zang_tpu.ops.pallas_lookup import (
+            TILE, pack_table, table_lookup_pallas)
+
+        rng = np.random.default_rng(0)
+        N = 22050
+        table = rng.standard_normal(N).astype(np.float32)
+        nt = 6
+        idx = rng.integers(0, N, (nt, TILE)).astype(np.int32)
+        sel = (rng.random((nt, TILE)) < 0.8).astype(np.float32)
+        got = np.asarray(table_lookup_pallas(
+            jnp.asarray(idx), jnp.asarray(sel),
+            pack_table(jnp.asarray(table)), interpret=True))
+        want = table[idx] * sel
+        np.testing.assert_array_equal(got, want)
+
+    def test_non_group_multiple_tiles(self):
+        from zang_tpu.ops.pallas_lookup import (
+            TILE, pack_table, table_lookup_pallas)
+
+        rng = np.random.default_rng(1)
+        N = 1000
+        table = rng.standard_normal(N).astype(np.float32)
+        nt = 3  # not a multiple of GROUP -> padded internally
+        idx = rng.integers(0, N, (nt, TILE)).astype(np.int32)
+        sel = np.ones((nt, TILE), np.float32)
+        got = np.asarray(table_lookup_pallas(
+            jnp.asarray(idx), jnp.asarray(sel),
+            pack_table(jnp.asarray(table)), interpret=True))
+        np.testing.assert_array_equal(got, table[idx])

@@ -87,15 +87,11 @@ class SamplerInstrument:
                 values[name][v, :k] = p.values[name][0]
                 values[name][v, k:] = p.values[name][0, k - 1]
         self.ratio = float(F32(F32(self.effective_sample_rate()) / F32(sample_rate)))
-        # windowed tap path (no gather): safe when every 512-sample tile
-        # holds at most two program spans (ops.sampler.windowed_safe)
-        windowed = all(
-            sampler_ops.windowed_safe(p.starts, self.table.num_samples,
-                                      self.ratio)
-            for p in progs
-        )
+        # accelerated taps: the pallas table-lookup kernel handles arbitrary
+        # index patterns; only table size gates it (ops.sampler)
         return {"sampler": SegProgram(starts=starts, values=values),
-                "windowed": windowed}
+                "windowed": sampler_ops.lookup_accelerated(
+                    self.table.num_samples)}
 
     def init_state(self, num_voices: int):
         return {

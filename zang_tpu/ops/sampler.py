@@ -131,72 +131,37 @@ def plan_sampler(
     return SegProgram(starts=starts, values=values)
 
 
-_WIN_TILE = 512  # output samples per lookup tile (windowed taps)
+_WIN_TILE = 512  # lookup tile (pallas table-lookup kernel granularity)
 
 
-def windowed_w(ratio: float, tile: int = _WIN_TILE) -> int:
-    """Window width covering one tile's position span, rounded to lanes.
+def lookup_accelerated(num_samples: int) -> bool:
+    """Can the pallas table-lookup kernel serve this table? (VMEM-resident
+    [128, H] layout — ops/pallas_lookup.py)."""
+    from .pallas_lookup import LANE, MAX_H
 
-    The fast copy path (step 1/sample) only exists when ratio ~ 1
-    (plan_sampler's `fast` predicate), so |ratio| alone bounds the span."""
-    r = abs(float(ratio))
-    span = tile * (max(r, 1.0) if 0.9999 < r < 1.0001 else r) + 4
-    return int(-(-max(span, 132.0) // 128) * 128)
+    return 0 < num_samples <= LANE * MAX_H
 
 
-def windowed_safe(starts: np.ndarray, num_samples: int, ratio: float,
-                  tile: int = _WIN_TILE) -> bool:
-    """Host guard for the windowed tap path: every lookup tile must contain
-    at most two position clusters (the 2-pass windows then cover it
-    exactly). Segment starts closer than a tile can stack 3+ program spans
-    (3+ clusters) into one tile -> use the gather path. Also requires the
-    table to be wider than the window (the wrap extension slices it)."""
-    W = windowed_w(ratio, tile)
-    if num_samples < W:
-        return False
-    for row in np.atleast_2d(starts):
-        r = np.asarray(row)
-        if len(r) >= 3 and np.any(r[2:] - r[:-2] < tile):
-            return False
-    return True
+def _pallas_taps(idx: jnp.ndarray, ok: jnp.ndarray, table: jnp.ndarray,
+                 num_samples: int, loop: bool,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Exact tap values (table[idx % N], ok=False -> 0) via the VMEM
+    table-lookup kernel — no XLA gather."""
+    from .pallas_lookup import pack_table, table_lookup_pallas
 
-
-def _windowed_taps(idx: jnp.ndarray, ok: jnp.ndarray, table: jnp.ndarray,
-                   num_samples: int, W: int) -> jnp.ndarray:
-    """Exact table lookup table[idx % N] (ok=False -> 0) without a gather.
-
-    Per 512-sample tile, positions form at most two affine clusters (one
-    per program span; guarded by windowed_safe). Two contiguous W-wide
-    windows — anchored at the tile's min index and at max-(W-1) — cover
-    them, fetched with large-slice DMAs; each sample then selects its value
-    by a 0/1 one-hot matmul (exact: a single nonzero f32 term; HIGHEST
-    precision keeps the MXU in f32). ~175x faster to compile and ~15%
-    faster to run than XLA's elementwise gather on TPU."""
     V, n = idx.shape
+    if loop:
+        idxm = jnp.remainder(idx, num_samples)
+        sel = ok
+    else:
+        sel = ok & (idx >= 0) & (idx < num_samples)
+        idxm = jnp.clip(idx, 0, num_samples - 1)
     nt = (V * n) // _WIN_TILE
-    idx_t = idx.reshape(nt, _WIN_TILE)
-    ok_t = ok.reshape(nt, _WIN_TILE)
-    base1 = jnp.min(idx_t, axis=1)
-    base2 = jnp.max(idx_t, axis=1) - (W - 1)
-    tab_ext = jnp.concatenate([table, table[:W]])
-
-    def win(b):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(tab_ext, (s,), (W,))
-        )(jnp.remainder(b, num_samples))
-
-    w1, w2 = win(base1), win(base2)
-    o1 = idx_t - base1[:, None]
-    o2 = idx_t - base2[:, None]
-    ar = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    in1 = o1 < W
-    oh1 = ((o1[:, :, None] == ar) & (ok_t & in1)[:, :, None]).astype(jnp.float32)
-    oh2 = ((o2[:, :, None] == ar) & (ok_t & ~in1)[:, :, None]).astype(jnp.float32)
-    s1 = jnp.einsum("twk,tk->tw", oh1, w1,
-                    precision=jax.lax.Precision.HIGHEST)
-    s2 = jnp.einsum("twk,tk->tw", oh2, w2,
-                    precision=jax.lax.Precision.HIGHEST)
-    return (s1 + s2).reshape(V, n)
+    out = table_lookup_pallas(
+        idxm.reshape(nt, _WIN_TILE).astype(jnp.int32),
+        sel.reshape(nt, _WIN_TILE).astype(jnp.float32),
+        pack_table(table), interpret=interpret)
+    return out.reshape(V, n)
 
 
 def eval_sampler(
@@ -210,9 +175,9 @@ def eval_sampler(
 ) -> jnp.ndarray:
     """Device: per-sample playback from pconst-evaluated program values.
 
-    windowed=True (caller must have checked windowed_safe on the plan)
-    replaces the per-sample gather with the 2-pass windowed lookup — same
-    tap values bit-for-bit."""
+    windowed=True routes taps through the VMEM table-lookup kernel on TPU
+    (ops/pallas_lookup.py) — same tap values bit-for-bit. The gather path
+    serves CPUs, odd chunk sizes, and tables too large for VMEM."""
     dt = (t_idx[None, :] - vals["seg_start"]).astype(jnp.float32)
     mode = vals["mode"]
     ratio_f = jnp.float32(ratio)
@@ -223,21 +188,27 @@ def eval_sampler(
     tfrac = (it0 + 1).astype(jnp.float32) - t
     ifast = vals["t0"].astype(jnp.int32) + dt.astype(jnp.int32)
 
+    import os
+
     n = t_idx.shape[0]
-    if windowed and n % _WIN_TILE == 0:
-        W = windowed_w(ratio)
-
-        def ok_of(index):
-            if loop:
-                return jnp.ones_like(index, dtype=bool)
-            return (index >= 0) & (index < num_samples)
-
+    interp = os.environ.get("ZANG_LOOKUP_INTERPRET", "0") == "1"
+    use_pallas = (
+        windowed
+        and n % _WIN_TILE == 0
+        and lookup_accelerated(num_samples)
+        and os.environ.get("ZANG_PALLAS_LOOKUP", "1") != "0"
+        and (jax.default_backend() != "cpu" or interp)
+    )
+    if use_pallas:
+        ones = jnp.ones(it0.shape, dtype=bool)
         # one lookup serves both modes' first tap (their indices are
         # program-span disjoint); the second tap only matters in resample
         # mode but is harmless elsewhere
         idx_a = jnp.where(mode == 2, ifast, it0)
-        tap_a = _windowed_taps(idx_a, ok_of(idx_a), table, num_samples, W)
-        tap_b = _windowed_taps(it0 + 1, ok_of(it0 + 1), table, num_samples, W)
+        tap_a = _pallas_taps(idx_a, ones, table, num_samples, loop,
+                             interpret=interp)
+        tap_b = _pallas_taps(it0 + 1, ones, table, num_samples, loop,
+                             interpret=interp)
         s_re = tap_a * (jnp.float32(1.0) - tfrac) + tap_b * tfrac
         s_fast = tap_a
     else:

@@ -553,12 +553,25 @@ class _InlineEnv:
             return
         if name == "Filter":
             self.p.state_specs[site] = ("filter",)
+
+            def scalar_or_ref(v):
+                # plan-time-constant params become scalars: the Pallas SVF
+                # kernel requires a scalar res, so DSL filters with literal
+                # or constant res take the fast path instead of the affine
+                # scan. (Batch plans only — the live walks see per-window
+                # arrays, whose constancy is not stable across walks.)
+                if (self.p.live is None and v.kind == "float"
+                        and v.arr is not None and v.arr.size
+                        and np.all(v.arr == v.arr.flat[0])):
+                    return ("const", float(v.arr.flat[0]))
+                return self.buf_ref(v)
+
             self.ops.append({
                 "op": "filter", "dest": dest, "site": site,
                 "type": named["type"].enum_label,
                 "input": self.buf_ref(named["input"]),
-                "cutoff": self.buf_ref(named["cutoff"]),
-                "res": self.buf_ref(named["res"]),
+                "cutoff": scalar_or_ref(named["cutoff"]),
+                "res": scalar_or_ref(named["res"]),
                 "ambient": self.scale_name,
             })
             return
@@ -776,6 +789,8 @@ class _Renderer:
             self.active = active
 
     def resolve(self, ref) -> jnp.ndarray:
+        if ref[0] == "const":
+            return jnp.float32(ref[1])
         if ref[0] == "temp":
             return self.temps[ref[1]]
         return self.scale_vals[ref[1]][ref[2]]

@@ -21,7 +21,8 @@ Subpackages:
   oracle    NumPy/C++ reference engine with exact zang semantics (golden)
   parallel  device-mesh sharding (voice/batch axes)
   script    zangscript compiler (tokenizer/parser/codegen/JAX backend)
-  host      song parser, instruments, example programs
+  host      song parser, instruments, live sessions, example programs
+  serve     batch serving: multi-song scheduling, shared compiles
 """
 
 __version__ = "0.1.0"
@@ -41,6 +42,8 @@ _LAZY = {
     "read_wav": ("zang_tpu.core.wav", "read_wav"),
     "write_wav_s16": ("zang_tpu.core.wav", "write_wav_s16"),
     "deviation_dbfs": ("zang_tpu.graph.fidelity", "deviation_dbfs"),
+    "BatchRenderer": ("zang_tpu.serve.batch", "BatchRenderer"),
+    "RenderJob": ("zang_tpu.serve.batch", "RenderJob"),
 }
 
 

@@ -150,3 +150,51 @@ def test_multi_device_scheduling():
     assert all(r.status == "ok" for r in results), [r.error for r in results]
     # at most one executable per device (jit re-specializes per device)
     assert br.cache.traces <= len(devices)
+
+
+def test_script_instrument_jobs_share_compile():
+    """DSL-instrument songs serve through the shared graph too (equal-config
+    ScriptInstruments hash by script + module, sharing one executable)."""
+    from zang_tpu.script.compile import compile_script
+    from zang_tpu.script.jax_backend import ScriptInstrument
+
+    SRC = """
+Voice = defmodule
+    freq: constant,
+    note_on: boolean,
+begin
+    out SineOsc(freq, phase=0)
+        * Envelope(attack=.cubed(0.02), decay=.cubed(0.1),
+                   release=.cubed(0.3), sustain_volume=0.6, note_on)
+end
+"""
+    compiled = compile_script(SRC, filename="<serve>")
+
+    def song(notes, seconds):
+        events = []
+        nid = 1
+        for t_on, t_off, freq in notes:
+            events.append(SongEvent({"freq": freq, "note_on": True}, t_on, nid))
+            events.append(SongEvent({"freq": freq, "note_on": False}, t_off, nid))
+            nid += 1
+        events.sort(key=lambda e: e.t)
+        total = int(seconds * SR)
+        tls = compile_timelines(events, 2, SR, total)
+        inst = ScriptInstrument(compiled, "Voice")
+        return Performance([(inst, tls)], SR), total
+
+    br = BatchRenderer(chunk_size=CHUNK, segment_chunks=2,
+                       devices=[jax.devices()[0]])
+    jobs = [
+        RenderJob("sa", lambda: song(SONG_A, 1.0)),
+        RenderJob("sb", lambda: song(SONG_B, 0.7)),
+    ]
+    results = br.run(jobs)
+    assert all(r.status == "ok" for r in results), [r.error for r in results]
+    assert br.cache.traces == 1, br.cache.traces
+    assert all(np.abs(r.audio).max() > 0 for r in results)
+
+    # matches the one-scan reference render (1-ulp fusion tolerance)
+    perf, total = song(SONG_A, 1.0)
+    want = render_performance(perf, total, chunk_size=CHUNK)
+    np.testing.assert_allclose(results[0].audio, want, rtol=0, atol=2e-6)

@@ -113,7 +113,12 @@ def _leaf_key(v):
 
 def _instrument_key(inst):
     cls = type(inst)
-    cfg = tuple(sorted((k, _leaf_key(v)) for k, v in vars(inst).items()))
+    # private attrs are derived caches (e.g. ScriptInstrument._ir, rebuilt
+    # from `compiled` on every plan) — identity comes from public config
+    cfg = tuple(sorted(
+        (k, _leaf_key(v)) for k, v in vars(inst).items()
+        if not k.startswith("_")
+    ))
     return (cls.__module__, cls.__qualname__, cfg)
 
 

@@ -59,6 +59,72 @@ class TestVoiceSharding:
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedPallasKernels:
+    """GSPMD sharding over the PRODUCTION kernel path.
+
+    The default gate (ops/pallas_mode.enabled) falls back to the affine
+    scans on CPU, so the plain sharding tests never exercise the Pallas
+    SVF/table kernels. ZANG_PALLAS_INTERPRET=1 forces the kernel paths in
+    interpreter mode on the virtual mesh; a GSPMD partitioning bug in the
+    kernels would surface here instead of only on real multi-chip hardware.
+    """
+
+    def test_sharded_pallas_interpret_equals_unsharded(self, monkeypatch):
+        from zang_tpu.ops import pallas_svf
+
+        calls = {"table": 0, "plain": 0}
+        orig_table = pallas_svf.svf_filter_pallas_table
+        orig_plain = pallas_svf.svf_filter_pallas
+
+        def spy_table(*a, **k):
+            calls["table"] += 1
+            assert k.get("interpret"), "kernel must run in interpret mode on CPU"
+            return orig_table(*a, **k)
+
+        def spy_plain(*a, **k):
+            calls["plain"] += 1
+            assert k.get("interpret"), "kernel must run in interpret mode on CPU"
+            return orig_plain(*a, **k)
+
+        monkeypatch.setattr(pallas_svf, "svf_filter_pallas_table", spy_table)
+        monkeypatch.setattr(pallas_svf, "svf_filter_pallas", spy_plain)
+        monkeypatch.setenv("ZANG_PALLAS_INTERPRET", "1")
+
+        sr = sm.SAMPLE_RATE
+        total = int(1.0 * sr)
+        song = sm.load_song()
+        mesh = make_mesh(8)
+
+        def build(padded):
+            tls = [
+                compile_timelines(song[i], sm.POLYPHONY[i], sr, total)
+                for i in range(3)
+            ]
+            if padded:
+                tls = [pad_timelines(t, 8) for t in tls]
+            return Performance(
+                [
+                    (ti.PMOscInstrument(0.4, freq_fn=sm.pedal_freq), tls[0]),
+                    (ti.NiceInstrument(0.25), tls[1]),
+                    (ti.NiceInstrument(0.1), tls[2]),
+                ],
+                sr,
+            )
+
+        base = render_performance(build(False), total, chunk_size=16384)
+        assert calls["table"] + calls["plain"] > 0, (
+            "Pallas kernel path was not taken — gate regressed")
+        n_unsharded = calls["table"] + calls["plain"]
+        sharded = render_performance_sharded(
+            build(True), total, mesh, chunk_size=16384)
+        assert calls["table"] + calls["plain"] > n_unsharded
+        dev = deviation_dbfs(base, sharded)
+        # identical kernel arithmetic on both sides; only the cross-device
+        # mix reduction order differs
+        assert dev[0] < -120.0, dev
+
+
 class TestShardedPostFx:
     def test_poly_echo_sharded_equals_unsharded(self):
         # stereo-echoes post chain: per-part states shard on voices, the

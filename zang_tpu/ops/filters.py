@@ -17,6 +17,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from . import pallas_mode
 from .scan import affine2_scan
 
 Array = jnp.ndarray
@@ -77,7 +78,7 @@ def svf_filter_table(
     Elsewhere it falls back to evaluating the table and calling svf_filter
     (identical semantics)."""
     if (
-        jax.default_backend() != "cpu"
+        pallas_mode.enabled()
         and os.environ.get("ZANG_PALLAS_SVF", "1") != "0"
         and x.ndim == 2
     ):
@@ -85,7 +86,8 @@ def svf_filter_table(
 
         if svf_table_supported(x.shape, tb.shape, res):
             return svf_filter_pallas_table(
-                l0, b0, x, filter_type, tb, cutv, res, t0, active_from)
+                l0, b0, x, filter_type, tb, cutv, res, t0, active_from,
+                interpret=pallas_mode.force_interpret())
 
     from .segprog import eval_tiled_chunk
 
@@ -122,7 +124,7 @@ def svf_filter(
     # numerics (exact sequential arithmetic within 128 blocks). Ablation:
     # the affine scan owned ~half the Bach render's device time.
     if (
-        jax.default_backend() != "cpu"
+        pallas_mode.enabled()
         and os.environ.get("ZANG_PALLAS_SVF", "1") != "0"
         and x.ndim == 2
         and jnp.ndim(res) == 0
@@ -130,7 +132,8 @@ def svf_filter(
         from .pallas_svf import svf_filter_pallas, svf_supported
 
         if svf_supported(x.shape, res):
-            return svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active)
+            return svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active,
+                                     interpret=pallas_mode.force_interpret())
 
     l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
     cut = jnp.clip(jnp.asarray(cutoff, jnp.float32), 0.0, 1.0)

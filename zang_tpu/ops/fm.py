@@ -82,12 +82,15 @@ def fm_osc(
     # sequential feedback path: Pallas kernel on TPU (the loop stays on-chip
     # with voices in lanes; far faster to compile than a 65k-step scan and
     # comparable at runtime), lax.scan elsewhere.
-    if jax.default_backend() not in ("cpu",) and base.ndim == 2 and isinstance(
+    from . import pallas_mode
+
+    if pallas_mode.enabled() and base.ndim == 2 and isinstance(
         waveform, (int, float)
     ):
         from .pallas_fm import fm_feedback_pallas
 
-        out, f1, f2 = fm_feedback_pallas(base, fb, int(waveform), fb1, fb2)
+        out, f1, f2 = fm_feedback_pallas(base, fb, int(waveform), fb1, fb2,
+                                         interpret=pallas_mode.force_interpret())
     else:
         def step(carry, b):
             c1, c2 = carry

@@ -190,8 +190,16 @@ def eval_sampler(
 
     import os
 
+    from . import pallas_mode
+
     n = t_idx.shape[0]
-    interp = os.environ.get("ZANG_LOOKUP_INTERPRET", "0") == "1"
+    # NOTE: both flags are read at TRACE time — toggling them once the
+    # surrounding jit cache is warm has no effect in the same process
+    # (same caveat as ZANG_SVF_TABLE; see ops/pallas_mode.py).
+    interp = (
+        os.environ.get("ZANG_LOOKUP_INTERPRET", "0") == "1"
+        or pallas_mode.force_interpret()
+    )
     use_pallas = (
         windowed
         and n % _WIN_TILE == 0

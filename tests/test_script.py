@@ -207,6 +207,186 @@ end
         assert np.std(tail) < 1e-6
 
 
+class TestEnumTrackParams:
+    """Enum/expression-valued track-note args + enum track/exported params
+    (reference: any literal arg expression typechecks into track notes,
+    codegen.zig:507-545 + 764-774; deftrack grammar parse.zig:292-326)."""
+
+    def _render(self, src, name, song, total, **kw):
+        return render_script(src, name, song, total, **kw)
+
+    def test_track_enum_equals_static_label(self):
+        # same structure (so site numbering/state keys line up); A drives the
+        # filter type from a track param, B hardcodes it — must be identical
+        tmpl = """
+F = defmodule freq: cob, note_on: boolean, begin
+    osc = Gate(note_on) * PulseOsc(freq, color=0.5) * 0.5
+    out from deftrack ft: FilterType, begin
+        0.0 (ft=.low_pass)
+    end, 1 begin
+        out Filter(input=osc, type=%s, cutoff=0.25, res=0.3)
+    end
+end
+"""
+        song = make_song(n=3)
+        total = int(1.0 * SR)
+        a = self._render(tmpl % "ft", "F", song, total)
+        b = self._render(tmpl % ".low_pass", "F", song, total)
+        # identical arithmetic up to XLA fusion reassociation (the mix-weight
+        # constants are [V, n] arrays in A, scalars in B): ulp-level only
+        assert np.abs(a - b).max() <= 1e-7, np.abs(a - b).max()
+
+    def test_track_enum_filter_type_switches(self):
+        src = """
+F = defmodule freq: cob, note_on: boolean, begin
+    osc = Gate(note_on) * PulseOsc(freq, color=0.5) * 0.5
+    out from deftrack ft: FilterType, begin
+        0.0 (ft=.low_pass)
+        0.25 (ft=.bypass)
+        0.5 (ft=.high_pass)
+    end, 1 begin
+        out Filter(input=osc, type=ft, cutoff=0.25, res=0.3)
+    end
+end
+"""
+        plain = """
+F = defmodule freq: cob, note_on: boolean, begin
+    out Gate(note_on) * PulseOsc(freq, color=0.5) * 0.5
+end
+"""
+        song = [SongEvent({"freq": 220.0, "note_on": True}, t=0.0, note_id=1)]
+        total = int(0.75 * SR)
+        mix = self._render(src, "F", song, total)
+        osc = self._render(plain, "F", song, total)
+        assert np.isfinite(mix).all()
+        # bypass window: the filter copies its input exactly (state frozen)
+        s, e = int(0.3 * SR), int(0.45 * SR)
+        assert np.array_equal(mix[s:e], osc[s:e])
+        # low-pass window attenuates the pulse's edges vs bypass
+        assert np.abs(mix[: int(0.2 * SR)] - osc[: int(0.2 * SR)]).max() > 0.05
+        # high-pass window differs from both
+        s2 = int(0.55 * SR)
+        assert np.abs(mix[s2:] - osc[s2:]).max() > 0.05
+
+    def test_exported_enum_param_note_driven(self):
+        tmpl = """
+D = defmodule freq: cob, note_on: boolean, %s begin
+    out Distortion(input=Gate(note_on) * SineOsc(freq, phase=0) * 0.8,
+                   type=%s, ingain=0.6, outgain=0.7, offset=0.1)
+end
+"""
+        total = int(1.2 * SR)
+        song = []
+        labels = []
+        for i in range(4):
+            f = float(np.float32(220.0 * 2 ** (i / 12.0)))
+            lab = "clip" if i % 2 else "overdrive"
+            song.append(SongEvent({"freq": f, "note_on": True, "dist": lab},
+                                  t=i * 0.3, note_id=i + 1))
+            song.append(SongEvent({"freq": f, "note_on": False, "dist": lab},
+                                  t=i * 0.3 + 0.2, note_id=i + 1))
+            labels.append(lab)
+        dyn = self._render(tmpl % ("dist: DistortionType,", "dist"), "D", song, total)
+        od = self._render(tmpl % ("", ".overdrive"), "D", song, total)
+        cl = self._render(tmpl % ("", ".clip"), "D", song, total)
+        # compose the expected render from the two static ones note-by-note
+        expected = od.copy()
+        for i, lab in enumerate(labels):
+            if lab == "clip":
+                s = int(np.float32(i * 0.3) * SR)
+                e = int(np.float32((i + 1) * 0.3) * SR) if i < 3 else total
+                expected[s:e] = cl[s:e]
+        dev = deviation_dbfs(expected, dyn)
+        assert dev[0] < -120.0, dev
+
+    def test_track_enum_payload_envelope(self):
+        # PaintCurve enum WITH f32 payload as a track note arg
+        tmpl = """
+V = defmodule freq: cob, note_on: boolean, begin
+    e = from deftrack a: PaintCurve, begin
+        0.0 (a=%s)
+    end, 1 begin
+        out Envelope(attack=a, decay=.cubed(0.1), release=.linear(0.3),
+                     sustain_volume=0.8, note_on)
+    end
+    out e * SineOsc(freq, phase=0)
+end
+"""
+        song = [SongEvent({"freq": 330.0, "note_on": True}, t=0.0, note_id=1),
+                SongEvent({"freq": 330.0, "note_on": False}, t=0.5, note_id=1)]
+        total = int(0.8 * SR)
+        a = self._render(tmpl % ".linear(0.02)", "V", song, total)
+        b_static = """
+V = defmodule freq: cob, note_on: boolean, begin
+    e = from deftrack a: PaintCurve, begin
+        0.0 (a=.instantaneous)
+    end, 1 begin
+        out Envelope(attack=.linear(0.02), decay=.cubed(0.1),
+                     release=.linear(0.3), sustain_volume=0.8, note_on)
+    end
+    out e * SineOsc(freq, phase=0)
+end
+"""
+        b = self._render(b_static, "V", song, total)
+        assert np.array_equal(a, b)
+        # a slow attack really is slower: peak within the first 5 ms is small
+        slow = self._render(tmpl % ".linear(0.2)", "V", song, total)
+        w = int(0.005 * SR)
+        assert np.abs(slow[:w]).max() < 0.5 * np.abs(a[:w]).max()
+
+    def test_track_enum_noise_color(self):
+        tmpl = """
+N = defmodule note_on: boolean, begin
+    out from deftrack c: NoiseColor, begin
+        0.0 (c=%s)
+    end, 1 begin
+        out Gate(note_on) * Noise(color=%s) * 0.3
+    end
+end
+"""
+        song = [SongEvent({"note_on": True}, t=0.0, note_id=1)]
+        total = 32768
+        a = self._render(tmpl % (".pink", "c"), "N", song, total)
+        b = self._render(tmpl % (".pink", ".pink"), "N", song, total)
+        assert np.array_equal(a, b)
+        w = self._render(tmpl % (".white", "c"), "N", song, total)
+        assert not np.array_equal(a, w)
+
+    def test_plan_errors_are_clear(self):
+        from zang_tpu.script.jax_backend import PlanError
+
+        # exported param of a type that cannot be note-driven
+        src = """
+M = defmodule c: curve, begin
+    out Curve(curve=c, function=.linear)
+end
+"""
+        song = [SongEvent({"note_on": True}, t=0.0, note_id=1)]
+        cs = compile_script(src)
+        inst = ScriptInstrument(cs, "M")
+        tls = compile_timelines(song, 1, SR, 4096)
+        with pytest.raises(PlanError, match="cannot be driven from note params"):
+            inst.plan(tls, SR)
+
+        # time-varying Curve function label
+        src2 = """
+M = defmodule note_on: boolean, begin
+    out from deftrack fn: InterpolationFunction, begin
+        0.0 (fn=.linear)
+    end, 1 begin
+        out Curve(curve=defcurve
+            0.0 0.0
+            1.0 1.0
+        end, function=fn)
+    end
+end
+"""
+        cs2 = compile_script(src2)
+        inst2 = ScriptInstrument(cs2, "M")
+        with pytest.raises(PlanError, match="cannot vary per note"):
+            inst2.plan(tls, SR)
+
+
 class TestZangcCLI:
     def test_cli_compile_and_dumps(self, tmp_path):
         from zang_tpu.script.zangc import main

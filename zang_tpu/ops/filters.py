@@ -108,12 +108,17 @@ def svf_filter(
     cutoff: Union[Array, float],
     res: Union[Array, float],
     active: Optional[Array] = None,
+    muls: Optional[Tuple[Array, Array, Array]] = None,
 ) -> Tuple[Array, Array, Array]:
     """Run the SVF over x [..., n]. Returns (l_end, b_end, out [..., n]).
 
     cutoff/res: raw 0-1 params (clamped like the reference); broadcastable
     to x. active: bool [..., n] — inactive samples leave state untouched and
-    output 0 (module not painted).
+    output 0 (module not painted). filter_type "mix" takes per-sample
+    (l, b, h) output weights via muls (broadcastable to x) — the recurrence
+    itself is type-independent (Filter.zig:120-147), so a time-varying type
+    is just a varying output mix; bypass must be handled by the caller
+    (mask active + select input).
     """
     if filter_type == "bypass":
         out = x if active is None else jnp.where(active, x, 0.0)
@@ -128,6 +133,7 @@ def svf_filter(
         and os.environ.get("ZANG_PALLAS_SVF", "1") != "0"
         and x.ndim == 2
         and jnp.ndim(res) == 0
+        and filter_type != "mix"
     ):
         from .pallas_svf import svf_filter_pallas, svf_supported
 
@@ -135,7 +141,10 @@ def svf_filter(
             return svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active,
                                      interpret=pallas_mode.force_interpret())
 
-    l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
+    if filter_type == "mix":
+        l_mul, b_mul, h_mul = muls
+    else:
+        l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
     cut = jnp.clip(jnp.asarray(cutoff, jnp.float32), 0.0, 1.0)
     r = jnp.float32(1.0) - jnp.clip(jnp.asarray(res, jnp.float32), 0.0, 1.0)
     cut = jnp.broadcast_to(cut, x.shape)
@@ -171,10 +180,11 @@ def svf_filter(
 
     # output uses post-step l and b plus h computed from the pre-step state
     h_out = h_00 + (h_10 - h_00) * pre_l + (h_01 - h_00) * pre_b
+    as_f32 = lambda m: jnp.asarray(m, jnp.float32)
     out = (
-        post_l * jnp.float32(l_mul)
-        + post_b * jnp.float32(b_mul)
-        + h_out * jnp.float32(h_mul)
+        post_l * as_f32(l_mul)
+        + post_b * as_f32(b_mul)
+        + h_out * as_f32(h_mul)
     )
     if active is not None:
         out = jnp.where(active, out, 0.0)

@@ -45,6 +45,14 @@ from .compile import CompiledScript
 F32 = np.float32
 
 
+class PlanError(Exception):
+    """A script construct this backend cannot lower to the device IR.
+
+    Raised with a human-readable message (instead of a bare
+    NotImplementedError traceback) so zangc / host callers can surface it
+    like a compile diagnostic."""
+
+
 # ---------------------------------------------------------------------------
 # plan-time values
 
@@ -53,7 +61,9 @@ F32 = np.float32
 class Val:
     kind: str  # float | buffer | bool | enum | curve | track | nothing
     col: Optional[str] = None  # float: column name in its scale's program
-    arr: Optional[np.ndarray] = None  # float/bool: [V, K] host values
+    arr: Optional[np.ndarray] = None  # float/bool: [V, K] host values;
+    #   enum: [V, K] object array of labels when the value varies per note
+    #   (track/exported enum params); None for a static literal label
     temp: Optional[int] = None  # buffer: global temp id
     enum_label: Optional[str] = None
     enum_payload: Optional["Val"] = None
@@ -102,6 +112,65 @@ def _pad_param(timelines, K, fn, dtype=np.float32, default=0):
     return out
 
 
+def _enum_label_of(x):
+    """Note-param enum values are a label or a (label, payload) tuple."""
+    return x[0] if isinstance(x, tuple) else x
+
+
+def _enum_payload_of(x) -> float:
+    if isinstance(x, tuple) and x[1] is not None:
+        return float(x[1])
+    return 0.0
+
+
+def _enum_param_vals(timelines, K, getter, enum, scale_name) -> Val:
+    """Build a varying-enum Val ([V, K] labels + payload floats)."""
+    default = enum.values[0].label if enum is not None and enum.values else ""
+    labels = _pad_param(
+        timelines, K, lambda pp: _enum_label_of(getter(pp, default)),
+        dtype=object, default=default)
+    payload = _pad_param(
+        timelines, K, lambda pp: F32(_enum_payload_of(getter(pp, default))))
+    return Val("enum", arr=labels, scale=scale_name,
+               enum_payload=Val("float", arr=payload, scale=scale_name))
+
+
+def track_note_events(track, note_values) -> List[SongEvent]:
+    """Track note rows -> SongEvents (shared by the batch planner and the
+    incremental live planner). Enum values become (label, payload) tuples.
+
+    Note args are evaluated in the global scope (codegen gen_track /
+    reference codegen.zig:764-774 + genArgs), so only literal kinds — and
+    global names resolving to them — reach here; the reference rejects
+    constant arithmetic at global scope (codegen.zig:925)."""
+    song = []
+    for ni, note in enumerate(track.notes):
+        params: Dict[str, Any] = {"_active": 1.0}
+        for pi, param in enumerate(track.params):
+            r = note_values[ni][pi]
+            if r.kind == "literal_number":
+                params[param.name] = float(F32(r.literal_number.value))
+            elif r.kind == "literal_boolean":
+                params[param.name] = r.literal_boolean
+            elif r.kind == "literal_enum_value":
+                pay = None
+                if r.enum_payload is not None:
+                    if r.enum_payload.kind != "literal_number":
+                        raise PlanError(
+                            f"track note value for param {param.name!r}: enum "
+                            "payload must be a literal number (or a global "
+                            "resolving to one)")
+                    pay = float(F32(r.enum_payload.literal_number.value))
+                params[param.name] = (r.enum_label, pay)
+            else:
+                raise PlanError(
+                    f"track note value for param {param.name!r} has kind "
+                    f"{r.kind!r}; track notes accept literal numbers, "
+                    "booleans, enum values, and globals resolving to them")
+        song.append(SongEvent(params, t=float(F32(note.t.value)), note_id=ni + 1))
+    return song
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -139,10 +208,18 @@ class ScriptInstrument:
             elif pt in ("constant", "constant_or_buffer"):
                 arr = _pad_param(timelines, K, lambda pp: F32(pp[key]))
                 bindings[i] = Val("float", arr=arr, scale="note")
+            elif pt == "one_of":
+                # enum params note-drive as label strings (or
+                # (label, payload) tuples) in the note params dict
+                bindings[i] = _enum_param_vals(
+                    timelines, K, lambda pp, d: pp.get(key, d),
+                    param.param_type.enum, "note")
             else:
-                raise NotImplementedError(
-                    f"driving exported param {param.name!r} of type {pt} from "
-                    "note params is not supported"
+                raise PlanError(
+                    f"exported param {param.name!r} of type {pt!r} cannot be "
+                    "driven from note params; supported: boolean, constant, "
+                    "constant_or_buffer, and enum params (pass the label, or "
+                    "a (label, payload) tuple, in the note params)"
                 )
         return bindings
 
@@ -414,9 +491,21 @@ class _InlineEnv:
     # -- builtins --------------------------------------------------------
 
     def _paint_curve_fn(self, v: Val):
-        label = v.enum_label
         durations = (self.local_arr(v.enum_payload)
                      if v.enum_payload is not None else None)
+        if v.arr is not None:  # varying label (track/exported enum param)
+            labels = self.local_arr(v)
+
+            def fn(voice, k):
+                label = labels[voice, k]
+                if label == "instantaneous":
+                    return PaintCurve.instantaneous()
+                dur = float(durations[voice, k]) if durations is not None else 0.0
+                return PaintCurve(label, dur)
+
+            return fn
+
+        label = v.enum_label
 
         def fn(voice, k):
             if label == "instantaneous":
@@ -424,6 +513,14 @@ class _InlineEnv:
             return PaintCurve(label, float(durations[voice, k]))
 
         return fn
+
+    def _static_enum(self, v: Val, what: str) -> str:
+        """The builtin param sites that require a plan-time-constant label."""
+        if v.arr is not None:
+            raise PlanError(
+                f"{what} cannot vary per note; use a literal enum value "
+                "(the Filter/Distortion/Noise type params CAN be note-driven)")
+        return v.enum_label
 
     def _emit_painter(self, site: str, segs: List[list], dest):
         self.p.programs[f"prog_{site}"] = control.painter_program(
@@ -511,7 +608,8 @@ class _InlineEnv:
             self._emit_painter(site, segs, dest)
             return
         if name == "Curve":
-            fn_label = named["function"].enum_label
+            fn_label = self._static_enum(
+                named["function"], "the Curve `function` param")
             curve_def = self.p.c.curves[named["curve"].index]
             points = [(float(cp.t.value), float(cp.value.value))
                       for cp in curve_def.points]
@@ -566,18 +664,54 @@ class _InlineEnv:
                     return ("const", float(v.arr.flat[0]))
                 return self.buf_ref(v)
 
-            self.ops.append({
+            entry = {
                 "op": "filter", "dest": dest, "site": site,
-                "type": named["type"].enum_label,
                 "input": self.buf_ref(named["input"]),
                 "cutoff": scalar_or_ref(named["cutoff"]),
                 "res": scalar_or_ref(named["res"]),
                 "ambient": self.scale_name,
-            })
+            }
+            tv = named["type"]
+            if tv.arr is None:
+                entry["type"] = tv.enum_label
+            else:
+                # note-driven filter type: the SVF recurrence is type-
+                # independent (Filter.zig:120-147) — only the output mix of
+                # (l, b, h) changes, so a varying type lowers to per-segment
+                # mix-weight columns plus a bypass mask (bypass copies the
+                # input and freezes state, matching the reference's switch).
+                labels = self.local_arr(tv)
+                mul = np.zeros(labels.shape + (3,), np.float32)
+                byp = np.zeros(labels.shape, np.float32)
+                known = set(filters.FILTER_MULS)
+                bad = {x for x in labels.flat} - known
+                if bad:
+                    raise PlanError(f"unknown filter type label(s) {sorted(bad)}")
+                for lab, muls in filters.FILTER_MULS.items():
+                    m = labels == lab
+                    if muls is None:  # bypass
+                        byp[m] = 1.0
+                    else:
+                        mul[m] = muls
+                sc = self.scale_name
+                entry["type"] = "mix"
+                entry["muls"] = tuple(
+                    self.float_col(Val("float", arr=mul[..., j], scale=sc))
+                    for j in range(3))
+                entry["bypass"] = self.float_col(Val("float", arr=byp, scale=sc))
+            self.ops.append(entry)
             return
         if name == "Noise":
-            self.ops.append({"op": "noise", "dest": dest, "site": site,
-                             "color": named["color"].enum_label})
+            entry = {"op": "noise", "dest": dest, "site": site}
+            cv = named["color"]
+            if cv.arr is None:
+                entry["color"] = cv.enum_label
+            else:  # note-driven color: select white/pink per segment
+                sel = (self.local_arr(cv) == "pink").astype(np.float32)
+                entry["color"] = "dyn"
+                entry["sel"] = self.float_col(
+                    Val("float", arr=sel, scale=self.scale_name))
+            self.ops.append(entry)
             return
         if name == "Decimator":
             self.p.state_specs[site] = ("decimator",)
@@ -588,14 +722,22 @@ class _InlineEnv:
             })
             return
         if name == "Distortion":
-            self.ops.append({
+            entry = {
                 "op": "distortion", "dest": dest,
                 "input": self.buf_ref(named["input"]),
-                "type": named["type"].enum_label,
                 "ingain": self.float_col(named["ingain"]),
                 "outgain": self.float_col(named["outgain"]),
                 "offset": self.float_col(named["offset"]),
-            })
+            }
+            tv = named["type"]
+            if tv.arr is None:
+                entry["type"] = tv.enum_label
+            else:  # note-driven type: select overdrive/clip per segment
+                sel = (self.local_arr(tv) == "clip").astype(np.float32)
+                entry["type"] = "dyn"
+                entry["sel"] = self.float_col(
+                    Val("float", arr=sel, scale=self.scale_name))
+            self.ops.append(entry)
             return
         raise NotImplementedError(f"builtin {name}")
 
@@ -668,9 +810,15 @@ class _InlineEnv:
                                  lambda pp: F32(pp.get(param.name, 0.0)))
                 params[pi] = Val("float", arr=arr, scale=site)
             elif pt == "one_of":
-                raise NotImplementedError("enum track params")
+                params[pi] = _enum_param_vals(
+                    inner_tls, inner_scale.K,
+                    lambda pp, d, n=param.name: pp.get(n, d),
+                    param.param_type.enum, site)
             else:
-                raise NotImplementedError(f"track param type {pt}")
+                raise PlanError(
+                    f"track param {param.name!r} of type {pt!r} is not "
+                    "supported; track params may be boolean, constant, or "
+                    "enum typed")
         act = _pad_param(inner_tls, inner_scale.K,
                          lambda pp: F32(pp.get("_active", 0.0)))
         inner_scale.add_column("_track_active", act)
@@ -700,21 +848,7 @@ def _simulate_track(sample_rate, outer_tl: SubvoiceTimeline, track, note_values,
     note_id_changed; per outer paint span (block∩segment), consume with
     sample_rate/speed; trigger splits; inner note_id_changed =
     (outer reset) or inner change. Gaps (no painted note) get _active=0."""
-    song = []
-    for ni, note in enumerate(track.notes):
-        params = {"_active": 1.0}
-        for pi, param in enumerate(track.params):
-            r = note_values[ni][pi]
-            if r.kind == "literal_number":
-                params[param.name] = float(F32(r.literal_number.value))
-            elif r.kind == "literal_boolean":
-                params[param.name] = r.literal_boolean
-            elif r.kind == "literal_enum_value":
-                params[param.name] = r.enum_label
-            else:
-                raise NotImplementedError(f"track note value kind {r.kind}")
-        song.append(SongEvent(params, t=float(F32(note.t.value)), note_id=ni + 1))
-
+    song = track_note_events(track, note_values)
     tracker = NoteTracker(song)
     trigger = Trigger()
     block = 1024
@@ -862,23 +996,42 @@ class _Renderer:
         if op == "filter":
             st = self.state[e["site"]]
             x = self.full(self.resolve(e["input"]))
-            l, b, out = filters.svf_filter(
-                st["l"], st["b"], x, e["type"],
-                self.resolve(e["cutoff"]), self.resolve(e["res"]),
-                self.ambient_mask(e["ambient"]))
+            amb = self.ambient_mask(e["ambient"])
+            if e["type"] == "mix":
+                # note-driven filter type: per-sample (l, b, h) mix weights;
+                # bypass samples copy the input and freeze state (the
+                # reference's bypass case paints input without touching l/b)
+                byp = self.full(self.resolve(e["bypass"])) > jnp.float32(0.5)
+                muls = tuple(self.full(self.resolve(r)) for r in e["muls"])
+                l, b, out = filters.svf_filter(
+                    st["l"], st["b"], x, "mix",
+                    self.resolve(e["cutoff"]), self.resolve(e["res"]),
+                    amb & ~byp, muls=muls)
+                out = jnp.where(byp & amb, x, out)
+            else:
+                l, b, out = filters.svf_filter(
+                    st["l"], st["b"], x, e["type"],
+                    self.resolve(e["cutoff"]), self.resolve(e["res"]), amb)
             self.state[e["site"]] = {"l": l, "b": b}
             self.write(e["dest"], out)
             return
         if op == "noise":
             seed = zlib.crc32(e["site"].encode()) & 0x7FFFFFFF
             key = jax.random.fold_in(jax.random.PRNGKey(seed), ctx.t_idx[0])
-            if e["color"] == "white":
-                out, _ = noise_ops.white_noise(key, (self.V, self.n))
-            else:
+            color = e["color"]
+            white = pink = None
+            if color in ("white", "dyn"):
+                white, _ = noise_ops.white_noise(key, (self.V, self.n))
+            if color in ("pink", "dyn"):
                 tape = jax.random.uniform(key, (self.V, self.n), dtype=jnp.float32)
                 reset = (ctx.t_idx % 1024) == 0
-                out, _ = noise_ops.pink_from_tape(
+                pink, _ = noise_ops.pink_from_tape(
                     tape, reset_mask=self.full(reset[None, :]) > 0)
+            if color == "dyn":  # note-driven color
+                sel = self.full(self.resolve(e["sel"])) > jnp.float32(0.5)
+                out = jnp.where(sel, pink, white)
+            else:
+                out = white if color == "white" else pink
             self.write(e["dest"], out)
             return
         if op == "decimator":
@@ -892,9 +1045,15 @@ class _Renderer:
             return
         if op == "distortion":
             x = self.full(self.resolve(e["input"]))
-            out = effects.distortion(
-                x, e["type"], self.resolve(e["ingain"]),
-                self.resolve(e["outgain"]), self.resolve(e["offset"]))
+            ig, og, off = (self.resolve(e["ingain"]),
+                           self.resolve(e["outgain"]), self.resolve(e["offset"]))
+            if e["type"] == "dyn":  # note-driven type
+                od = effects.distortion(x, "overdrive", ig, og, off)
+                cl = effects.distortion(x, "clip", ig, og, off)
+                sel = self.full(self.resolve(e["sel"])) > jnp.float32(0.5)
+                out = jnp.where(sel, cl, od)
+            else:
+                out = effects.distortion(x, e["type"], ig, og, off)
             self.write(e["dest"], out)
             return
         if op == "delay":

@@ -233,22 +233,9 @@ class _TrackVoiceStream:
 
 class _TrackSite:
     def __init__(self, V: int, track, note_values) -> None:
-        song = []
-        for ni, note in enumerate(track.notes):
-            params = {"_active": 1.0}
-            for pi, param in enumerate(track.params):
-                r = note_values[ni][pi]
-                if r.kind == "literal_number":
-                    params[param.name] = float(F32(r.literal_number.value))
-                elif r.kind == "literal_boolean":
-                    params[param.name] = r.literal_boolean
-                elif r.kind == "literal_enum_value":
-                    params[param.name] = r.enum_label
-                else:
-                    raise NotImplementedError(
-                        f"track note value kind {r.kind}")
-            song.append(SongEvent(params, t=float(F32(note.t.value)),
-                                  note_id=ni + 1))
+        from .jax_backend import track_note_events
+
+        song = track_note_events(track, note_values)
         self.streams = [_TrackVoiceStream(song) for _ in range(V)]
 
     def snapshot(self):

@@ -89,6 +89,23 @@ class TestCompiler:
         assert "Voice" in c and "call field" in c
         assert "Envelope" in printers.dump_builtins()
 
+    def test_lowered_golden_snapshot(self):
+        # the diffable AOT artifact (codegen_zig.zig:461-577 analog): the
+        # lowered device IR for VOICE_SRC must match this snapshot exactly
+        cs = compile_script(VOICE_SRC)
+        expected = """module Voice:
+  state sineosc1: phase
+  painter envelope0
+  scale note: [c0, c1]
+  ops:
+    painter ambient=note prog=prog_envelope0 -> t1
+    copy a=note.c0 -> t2
+    osc freq=t2 guard=False kind=SineOsc mode=cumsum phase=note.c1 scale=note site=sineosc1 -> t3
+    arith a=t1 arith=mul b=t3 -> +t0
+  out: t0
+"""
+        assert printers.dump_lowered(cs) == expected
+
     def test_shorthand_and_precedence(self):
         # `note_on` shorthand, operator precedence 1*2+3 = (1*2)+3
         cs = compile_script("""
@@ -397,9 +414,12 @@ class TestZangcCLI:
         rc = main([str(script), "-o", str(out_py),
                    "--dump-parse", str(tmp_path / "p.txt"),
                    "--dump-codegen", str(tmp_path / "c.txt"),
+                   "--dump-lowered", str(tmp_path / "l.txt"),
                    "--dump-builtins", str(tmp_path / "b.txt")])
         assert rc == 0
         assert "Voice" in (tmp_path / "c.txt").read_text()
+        lowered = (tmp_path / "l.txt").read_text()
+        assert lowered.startswith("module Voice:") and "osc" in lowered
         # generated module round-trips
         import importlib.util
 
@@ -407,6 +427,7 @@ class TestZangcCLI:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert mod.EXPORTED_MODULES == ["Voice"]
+        assert mod.LOWERED_IR == lowered
         inst = mod.make_instrument("Voice")
         assert inst.module_name == "Voice"
 

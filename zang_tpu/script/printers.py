@@ -194,3 +194,100 @@ def dump_builtins() -> str:
         params = ", ".join(f"{p.name}: {p.param_type}" for p in b.params)
         lines.append(f"module {b.name}({params})")
     return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# lowered device-IR dump (the generated-source analog, codegen_zig.zig:461-577)
+
+
+def _ref(v) -> str:
+    if isinstance(v, tuple) and v:
+        if v[0] == "temp":
+            return f"t{v[1]}"
+        if v[0] == "col":
+            return f"{v[1]}.{v[2]}"
+        if v[0] == "const":
+            return f"const({v[1]:g})"
+        return "(" + ", ".join(_ref(x) for x in v) + ")"
+    return str(v)
+
+
+def _lowered_op_lines(e: dict, indent: int):
+    pad = "  " * indent
+    dest = e.get("dest")
+    dest_s = ""
+    if dest is not None:
+        kind, idx = dest
+        dest_s = f" -> {'+' if kind == 'acc' else ''}t{idx}"
+    skip = {"op", "dest", "inner", "sub", "inner_dest"}
+    parts = [e["op"]]
+    for k in sorted(set(e) - skip):
+        parts.append(f"{k}={_ref(e[k])}")
+    if "inner_dest" in e:
+        parts.append(f"inner_dest=t{e['inner_dest']}")
+    lines = [pad + " ".join(parts) + dest_s]
+    for key in ("inner",):
+        if key in e:
+            for sub in e[key]:
+                lines.extend(_lowered_op_lines(sub, indent + 1))
+    if "sub" in e:
+        for sub in e["sub"]["ops"]:
+            lines.extend(_lowered_op_lines(sub, indent + 1))
+        lines.append("  " * (indent + 1) + f"(inline out: t{e['sub']['out']})")
+    return lines
+
+
+def dump_lowered(cs: CompiledScript, module_name=None,
+                 sample_rate: float = 44100.0) -> str:
+    """Plan each exported module against a one-note canonical timeline and
+    print the flat device IR: the diffable "generated source" artifact (the
+    reference emits lowered Zig here, codegen_zig.zig:461-577; our lowered
+    form is the op list the renderer executes, with SegProgram columns).
+
+    The canonical timeline (one voice, one note at t=0, freq=440, booleans
+    true, enums at their first label) only determines column VALUES; the op
+    structure, temp/site numbering, state specs, and column names — what the
+    dump shows — depend only on the script."""
+    from ..core.notes import SongEvent
+    from ..core.timeline import compile_timelines
+    from .jax_backend import PlanError, ScriptInstrument
+
+    lines = []
+    for em in cs.exported_modules:
+        if module_name is not None and em.name != module_name:
+            continue
+        module = cs.modules[em.module_index]
+        params = {}
+        for p in module.params:
+            if p.name == "sample_rate":
+                continue
+            kind = p.param_type.kind
+            if kind == "boolean":
+                params[p.name] = True
+            elif kind == "one_of":
+                params[p.name] = p.param_type.enum.values[0].label
+            else:
+                params[p.name] = 440.0 if p.name == "freq" else 1.0
+        lines.append(f"module {em.name}:")
+        inst = ScriptInstrument(cs, em.name)
+        tls = compile_timelines([SongEvent(params, t=0.0, note_id=1)],
+                                1, sample_rate, 4096)
+        try:
+            prog = inst.plan(tls, sample_rate)
+        except PlanError as e:
+            lines.append(f"  (not lowerable from note params: {e})")
+            continue
+        for site, spec in sorted(inst._state_specs.items()):
+            desc = spec[0] + (f"({spec[1]})" if len(spec) > 1 else "")
+            lines.append(f"  state {site}: {desc}")
+        for key in sorted(prog):
+            if key.startswith("scale_"):
+                cols = ", ".join(sorted(prog[key].values))
+                lines.append(f"  scale {key[len('scale_'):]}: [{cols}]")
+            elif key.startswith("prog_"):
+                lines.append(f"  painter {key[len('prog_'):]}")
+        lines.append("  ops:")
+        for op in inst._ir["ops"]:
+            lines.extend(_lowered_op_lines(op, 2))
+        lines.append(f"  out: t{inst._ir['out']}")
+    return "\n".join(lines) + "\n"

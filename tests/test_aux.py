@@ -61,6 +61,49 @@ class TestVisualFrames:
         assert all("spectrum" in f and "waveform" in f for f in frames)
 
 
+class TestVisualRender:
+    """The offline rendering layer (visual.zig's widget/UI analog)."""
+
+    def _tone_wav(self, path, sr=44100, f=440.0, seconds=0.5):
+        from zang_tpu.core.wav import write_wav_s16
+
+        t = np.arange(int(sr * seconds))
+        x = (0.5 * np.sin(2 * np.pi * f * t / sr) * 32767).astype(np.int16)
+        write_wav_s16(str(path), x, sr)
+
+    def test_render_image(self):
+        from zang_tpu.host.visual import render_image
+
+        sr = 44100.0
+        x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(44100) / sr)
+        img = render_image(x.astype(np.float32), sr, width=512, title="tone")
+        assert img.dtype == np.uint8 and img.shape[1] == 512
+        # every panel drew something: not all background
+        assert (img != img[0, 0]).any(axis=-1).mean() > 0.05
+
+    def test_cli_writes_valid_png(self, tmp_path):
+        import struct
+
+        from zang_tpu.host.visual import main
+
+        wav = tmp_path / "tone.wav"
+        self._tone_wav(wav)
+        out = tmp_path / "tone.png"
+        assert main([str(wav), str(out)]) == 0
+        d = out.read_bytes()
+        assert d[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", d[16:24])
+        assert w == 1024 and h > 400
+
+    def test_font_coverage(self):
+        from zang_tpu.host.visual import _FONT, draw_text
+
+        img = np.zeros((12, 400, 3), np.uint8)
+        draw_text(img, 1, 1, "SPECTRUM 0.5S -96.9 DBFS 440HZ", (255, 255, 255))
+        assert img.any()
+        assert all(len(rows) == 7 for rows in _FONT.values())
+
+
 class TestParameter:
     def test_step_clamps(self):
         p = Parameter("x", num_values=4, current_value=2)

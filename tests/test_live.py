@@ -251,3 +251,28 @@ class TestRecorderLoop:
         r1 = np.sqrt((first ** 2).mean())
         r2 = np.sqrt((second ** 2).mean())
         assert 0.7 < r2 / r1 < 1.4
+
+
+class TestSlotCapacityDegrade:
+    def test_overflow_at_cap_drops_instead_of_crashing(self):
+        import warnings
+
+        # tiny capacity + cap, then a burst of events far denser than the
+        # window can hold: the session must warn and keep rendering
+        live = LiveSession([(ti.NiceInstrument(0.3), 2)], SR, BLOCK,
+                           slot_capacity=2, max_slot_capacity=4)
+        for i in range(16):
+            f = 220.0 * 2 ** ((i % 12) / 12.0)
+            nid = live.push_event(0, {"freq": f, "note_on": True},
+                                  impulse_frame=i * 60)
+            live.push_event(0, {"freq": f, "note_on": False}, note_id=nid,
+                            impulse_frame=i * 60 + 30)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = live.render_block()
+        assert np.isfinite(out).all()
+        assert any("max_slot_capacity" in str(w.message) for w in caught)
+        assert live.slot_capacity == 4  # grew to the cap, no further
+        # subsequent sparse blocks render normally
+        out2 = live.render_block()
+        assert np.isfinite(out2).all()

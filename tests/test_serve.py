@@ -198,3 +198,25 @@ end
     perf, total = song(SONG_A, 1.0)
     want = render_performance(perf, total, chunk_size=CHUNK)
     np.testing.assert_allclose(results[0].audio, want, rtol=0, atol=2e-6)
+
+
+def test_duplicate_job_names_rejected():
+    br = BatchRenderer(chunk_size=CHUNK, segment_chunks=2)
+    jobs = [RenderJob("same", lambda: _song(SONG_B, 0.5)),
+            RenderJob("same", lambda: _song(SONG_B, 0.5))]
+    with pytest.raises(ValueError, match="duplicate job names"):
+        br.run(jobs)
+
+
+def test_graph_cache_eviction_bound():
+    from zang_tpu.serve.batch import SharedGraphCache
+
+    cache = SharedGraphCache(max_entries=2)
+    perfs = [_song(SONG_B, 0.5)[0] for _ in range(3)]
+    from zang_tpu.serve.batch import _split_programs
+
+    for perf in perfs:
+        skeleton, _ = _split_programs(perf.programs)
+        cache.get(perf, skeleton, CHUNK, 2)
+    assert len(cache._fns) <= 2
+    assert len(cache._pinned) <= 2

@@ -46,7 +46,7 @@ from ..core.timeline import SubvoiceTimeline
 from ..core.trigger import Trigger
 from ..graph.render import RenderCtx
 from ..ops.segprog import SegProgram
-from . import keyboard
+from . import keyboard, liveplan
 
 
 @dataclass
@@ -79,6 +79,7 @@ class LiveSession:
         post_fn: Optional[Callable] = None,
         post_init_state: Optional[Callable] = None,
         slot_capacity: int = 8,
+        max_slot_capacity: int = 1024,
     ) -> None:
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
@@ -92,6 +93,7 @@ class LiveSession:
         # lock serializes event pushes against block rendering
         self._lock = threading.Lock()
         self.slot_capacity = slot_capacity
+        self.max_slot_capacity = max(slot_capacity, max_slot_capacity)
         self._step = None  # jitted per-block device step
         self.parts = [
             _PartState(
@@ -206,10 +208,13 @@ class LiveSession:
                 )
             count = int((lasts - firsts).max())
             if count > KP:
-                raise RuntimeError(
-                    f"live block needs {count} slots > slot_capacity={KP}; "
-                    "raise slot_capacity (events per block are <= 32)"
-                )
+                if not liveplan.TRUNCATE_OVERFLOW:
+                    raise RuntimeError(
+                        f"live block needs {count} slots > slot_capacity={KP}; "
+                        "raise slot_capacity (events per block are <= 32)"
+                    )
+                # degrade: drop the oldest overflow segments of this window
+                firsts = np.maximum(firsts, lasts - KP)
             idx = firsts[:, None] + np.arange(KP)[None, :]
             in_w = idx < lasts[:, None]
             idx_v = np.minimum(np.maximum(np.minimum(idx, lasts[:, None] - 1), 0), K - 1)
@@ -290,14 +295,35 @@ class LiveSession:
                 progs = [self._part_progs(part, f0, f1) for part in self.parts]
                 break
             except RuntimeError as e:
-                if "slot_capacity" not in str(e) or self.slot_capacity >= 1024:
+                if "slot_capacity" not in str(e):
                     raise
-                # a dense block overflowed the program window — grow and
-                # retry (the jitted step re-specializes on the new shapes).
-                # The reference host degrades by silently dropping events
-                # past its 32-impulse cap (notes.zig:108-118); we keep every
-                # event and pay one re-jit instead.
-                self.slot_capacity *= 2
+                if self.slot_capacity < self.max_slot_capacity:
+                    # a dense block overflowed the program window — grow and
+                    # retry (the jitted step re-specializes on the new
+                    # shapes). The reference host degrades by silently
+                    # dropping events past its 32-impulse cap
+                    # (notes.zig:108-118); we keep every event and pay one
+                    # re-jit instead.
+                    self.slot_capacity = min(
+                        self.slot_capacity * 2, self.max_slot_capacity)
+                    continue
+                # at the cap: degrade like the reference instead of killing
+                # the live stream — drop the oldest overflow segments for
+                # this window only (transient mis-render, stream survives)
+                import warnings
+
+                warnings.warn(
+                    f"live block overflows max_slot_capacity="
+                    f"{self.max_slot_capacity}; dropping oldest segments "
+                    "for this block", RuntimeWarning)
+                liveplan.TRUNCATE_OVERFLOW = True
+                try:
+                    progs = [
+                        self._part_progs(part, f0, f1) for part in self.parts
+                    ]
+                finally:
+                    liveplan.TRUNCATE_OVERFLOW = False
+                break
         for part in self.parts:
             if part.dev_state is None:
                 part.dev_state = part.instrument.init_state(part.polyphony)

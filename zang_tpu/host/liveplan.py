@@ -36,6 +36,27 @@ _NEVER = np.int32(2**31 - 1)
 _PAINTER_VALS = ("a", "b", "t_step", "t0", "shape", "seg_start")
 
 
+# degrade switch for over-capacity windows: when True, window extraction
+# drops the OLDEST segments of an overflowing window instead of raising
+# (one transiently mis-rendered block; the reference similarly degrades by
+# dropping events past its 32-impulse cap, notes.zig:108-118). Set
+# temporarily by LiveSession.render_block once slot growth hits its cap.
+TRUNCATE_OVERFLOW = False
+
+
+def _window_lo(i: int, j: int, KP: int) -> int:
+    """First segment index to keep for a window spanning segs [i..j]."""
+    count = j - i + 1
+    if count <= KP:
+        return i
+    if TRUNCATE_OVERFLOW:
+        return j - KP + 1
+    raise RuntimeError(
+        f"live block needs {count} slots > slot_capacity={KP}; "
+        "raise slot_capacity"
+    )
+
+
 def advance_cursor(starts_at, length: int, cursor: int, f0: int) -> int:
     """Forward-only covering-segment search: starts_at(i) is the i-th start.
     Returns the last index whose start <= f0 (amortized O(1) per window)."""
@@ -53,12 +74,8 @@ def painter_segs_window(segs, cursor: int, f0: int, f1: int, KP: int,
     j = i
     while j + 1 < len(segs) and segs[j + 1][0] < f1:
         j += 1
+    i = _window_lo(i, j, KP)
     count = j - i + 1
-    if count > KP:
-        raise RuntimeError(
-            f"live block needs {count} slots > slot_capacity={KP}; "
-            "raise slot_capacity"
-        )
     for n in range(KP):
         s, a, b, t_step, t0, shape = segs[min(i + n, j)]
         if n < count:
@@ -101,16 +118,12 @@ def columns_window(starts_lists, value_lists, dtypes, cursors,
         if not starts:
             continue
         i = advance_cursor(starts.__getitem__, len(starts), cursors[v], f0)
-        cursors[v] = i
         j = i
         while j + 1 < len(starts) and starts[j + 1] < f1:
             j += 1
+        i = _window_lo(i, j, KP)
+        cursors[v] = i
         count = j - i + 1
-        if count > KP:
-            raise RuntimeError(
-                f"live block needs {count} slots > slot_capacity={KP}; "
-                "raise slot_capacity"
-            )
         for n in range(KP):
             k = min(i + n, j)
             if n < count:

@@ -214,10 +214,15 @@ class SharedGraphCache:
     argument-shape signature), so N songs on one device trace once, and a
     fleet traces once per device — never once per song."""
 
-    def __init__(self) -> None:
+    def __init__(self, max_entries: int = 64) -> None:
         self._lock = threading.Lock()
-        self._fns = {}
-        self._pinned = []  # keep keyed objects alive so id() keys stay unique
+        self._fns = {}  # insertion-ordered: oldest evicted first
+        # keep each entry's keyed Performance alive so its id()-based key
+        # components stay unique among LIVE entries; evicting an entry and
+        # its pin together means a recycled id() can only match a key that
+        # no longer exists (miss -> rebuild), never a stale hit
+        self._pinned = {}
+        self.max_entries = max_entries
         self.traces = 0
 
     def has(self, perf: Performance, skeleton, chunk_size: int,
@@ -232,7 +237,11 @@ class SharedGraphCache:
         with self._lock:
             hit = key in self._fns
             if not hit:
-                self._pinned.append(perf)
+                while len(self._fns) >= self.max_entries:
+                    oldest = next(iter(self._fns))
+                    del self._fns[oldest]
+                    self._pinned.pop(oldest, None)
+                self._pinned[key] = perf
                 self._fns[key] = self._build(
                     perf, skeleton, chunk_size, segment_chunks, emit
                 )
@@ -326,7 +335,7 @@ def render_song_shared(
         state, audio = fn(state, jnp.asarray(starts[sl]), xs_seg,
                           consts_dev, vol)
         pending.append(audio)
-        while len(pending) > max(1, inflight):
+        while len(pending) >= max(1, inflight):
             flush_one()
     while pending:
         flush_one()
@@ -386,6 +395,12 @@ class BatchRenderer:
         self.cache = SharedGraphCache()
 
     def run(self, jobs: Sequence[RenderJob]) -> List[JobResult]:
+        names = [j.name for j in jobs]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"duplicate job names {dupes}: results are keyed (and WAVs "
+                "written) by name — give each job a unique name")
         if self.out_dir:
             os.makedirs(self.out_dir, exist_ok=True)
         devices = self.devices if self.devices is not None else jax.devices()

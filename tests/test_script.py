@@ -404,6 +404,127 @@ end
             inst2.plan(tls, SR)
 
 
+class TestUserBuiltins:
+    """Reflection-registered user DSL builtins — the working analog of the
+    reference's disabled parse_builtins tool (tools/zangc/parse_builtins.zig,
+    zangc.zig:3,99-100)."""
+
+    BASE = """
+M = defmodule freq: cob, note_on: boolean, begin
+    out %s
+end
+"""
+
+    def _packages(self, *classes):
+        from zang_tpu.script.builtins import user_package
+        from zang_tpu.script.compile import builtin_packages
+
+        return builtin_packages() + [user_package(*classes)]
+
+    def _render(self, src, packages, song, total):
+        cs = compile_script(src, packages=packages)
+        inst = ScriptInstrument(cs, "M")
+        tls = compile_timelines(song, 1, SR, total)
+        return render_performance(Performance([(inst, tls)], SR), total,
+                                  chunk_size=8192)[0]
+
+    def test_register_and_render(self):
+        import jax.numpy as jnp
+
+        class Fold:
+            PARAMS = [("input", "buffer"), ("amount", float)]
+
+            def render(self, state, inputs, ctx):
+                return state, jnp.tanh(inputs["input"] * inputs["amount"])
+
+        song = [SongEvent({"freq": 330.0, "note_on": True}, t=0.0, note_id=1)]
+        total = 16384
+        pk = self._packages(Fold)
+        a = self._render(
+            self.BASE % "Fold(input=Gate(note_on) * SineOsc(freq, phase=0), amount=2.5)",
+            pk, song, total)
+        plain = self._render(
+            self.BASE % "Gate(note_on) * SineOsc(freq, phase=0)",
+            self._packages(), song, total)
+        assert np.allclose(a, np.tanh(plain * 2.5), atol=1e-6)
+
+    def test_stateful_and_dataclass_reflection(self):
+        import jax.numpy as jnp
+
+        class Lag:
+            """One-pole smoother with reflected Params annotations."""
+
+            class Params:
+                input: object  # replaced below
+                coeff: float
+
+            def init_state(self, num_voices):
+                return {"y": jnp.zeros((num_voices,), jnp.float32)}
+
+            def render(self, state, inputs, ctx):
+                import jax
+
+                x = inputs["input"]
+                c = inputs["coeff"][..., 0]
+
+                def step(y, xt):
+                    y = y + (xt - y) * c
+                    return y, y
+
+                y, out = jax.lax.scan(step, state["y"], jnp.moveaxis(x, -1, 0))
+                return {"y": y}, jnp.moveaxis(out, 0, -1)
+
+        from zang_tpu.script.builtins import Buffer
+
+        Lag.Params.__annotations__["input"] = Buffer
+        song = [SongEvent({"freq": 220.0, "note_on": True}, t=0.0, note_id=1)]
+        total = 8192
+        out = self._render(
+            self.BASE % "Lag(input=Gate(note_on) * SineOsc(freq, phase=0), coeff=0.01)",
+            self._packages(Lag), song, total)
+        assert np.isfinite(out).all()
+        # smoothing attenuates a 220 Hz sine substantially
+        plain = self._render(self.BASE % "Gate(note_on) * SineOsc(freq, phase=0)",
+                             self._packages(), song, total)
+        assert np.abs(out).max() < 0.6 * np.abs(plain).max()
+
+    def test_bad_class_rejected(self):
+        from zang_tpu.script.builtins import builtin_from_class
+
+        class NoRender:
+            PARAMS = [("x", float)]
+
+        with pytest.raises(TypeError, match="render"):
+            builtin_from_class(NoRender)
+
+        class NoParams:
+            def render(self, state, inputs, ctx):
+                return state, inputs
+
+        with pytest.raises(TypeError, match="PARAMS"):
+            builtin_from_class(NoParams)
+
+    def test_cli_add_builtins(self, tmp_path):
+        from zang_tpu.script.zangc import main
+
+        user_mod = tmp_path / "my_builtins.py"
+        user_mod.write_text(
+            "import jax.numpy as jnp\n"
+            "class Doubler:\n"
+            "    PARAMS = [('input', 'buffer')]\n"
+            "    def render(self, state, inputs, ctx):\n"
+            "        return state, inputs['input'] * jnp.float32(2.0)\n"
+        )
+        script = tmp_path / "s.txt"
+        script.write_text(self.BASE % "Doubler(input=Gate(note_on))")
+        dump = tmp_path / "b.txt"
+        rc = main([str(script), "--add-builtins", str(user_mod),
+                   "--dump-builtins", str(dump),
+                   "-o", str(tmp_path / "gen.py")])
+        assert rc == 0
+        assert "module Doubler(input: buffer) [user]" in dump.read_text()
+
+
 class TestZangcCLI:
     def test_cli_compile_and_dumps(self, tmp_path):
         from zang_tpu.script.zangc import main

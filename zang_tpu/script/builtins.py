@@ -96,6 +96,94 @@ class BuiltinModule:
     params: Tuple[ModuleParam, ...]
     num_temps: int = 0
     num_outputs: int = 1
+    # reflection-registered user module (tools/zangc/parse_builtins.zig
+    # analog): an object with render(state, inputs, ctx) -> (state, out)
+    custom: object = None
+
+
+class Buffer:
+    """Annotation marker: a sample-rate f32 signal ([]const f32 analog)."""
+
+
+class Cob:
+    """Annotation marker: zang.ConstantOrBuffer analog."""
+
+
+_PARAM_TYPE_NAMES = {
+    "boolean": BOOLEAN, "buffer": BUFFER, "constant": CONSTANT,
+    "cob": COB, "constant_or_buffer": COB, "curve": CURVE,
+}
+
+
+def resolve_param_type(pt) -> ParamType:
+    """Python annotation/spec -> ParamType, mirroring the reference's
+    comptime Zig-type mapping (builtins.zig:102-114): f32 -> constant,
+    bool -> boolean, []const f32 -> buffer, ConstantOrBuffer -> cob."""
+    if isinstance(pt, ParamType):
+        return pt
+    if isinstance(pt, BuiltinEnum):
+        return one_of(pt)
+    if isinstance(pt, str):
+        if pt in _PARAM_TYPE_NAMES:
+            return _PARAM_TYPE_NAMES[pt]
+        raise TypeError(f"unknown param type name {pt!r} "
+                        f"(expected one of {sorted(_PARAM_TYPE_NAMES)})")
+    if pt is float:
+        return CONSTANT
+    if pt is bool:
+        return BOOLEAN
+    if pt is Buffer:
+        return BUFFER
+    if pt is Cob:
+        return COB
+    raise TypeError(f"cannot map {pt!r} to a DSL param type")
+
+
+def builtin_from_class(cls_or_obj, name: Optional[str] = None) -> BuiltinModule:
+    """Register a user Python module as a DSL builtin by reflection — the
+    working analog of the reference's (bit-rotted, disabled) parse_builtins
+    tool (tools/zangc/parse_builtins.zig; zangc.zig:3,99-100).
+
+    The class/instance must provide:
+      PARAMS: [(name, type)] with type a ParamType, BuiltinEnum, python
+              float/bool, Buffer/Cob marker, or a type-name string — OR a
+              nested `Params` class whose annotations are reflected
+              (the comptime-reflection analog). Include a
+              ("sample_rate", float) entry to receive the auto-threaded
+              sample rate.
+      render(state, inputs, ctx) -> (state, out [V, n]):
+              inputs maps param name -> [V, n] jnp array (f32 for
+              constant/cob/buffer, bool for boolean) or a static label
+              string for enum params.
+      init_state(num_voices) -> pytree   (optional; default {})
+    """
+    obj = cls_or_obj() if isinstance(cls_or_obj, type) else cls_or_obj
+    cls = type(obj)
+    name = name or getattr(cls, "NAME", cls.__name__)
+    spec = getattr(cls, "PARAMS", None)
+    if spec is None:
+        pcls = getattr(cls, "Params", None)
+        if pcls is None:
+            raise TypeError(
+                f"{cls.__name__} must declare PARAMS or a Params class")
+        spec = list(getattr(pcls, "__annotations__", {}).items())
+    if not callable(getattr(obj, "render", None)):
+        raise TypeError(f"{cls.__name__} must define render(state, inputs, ctx)")
+    params = tuple(ModuleParam(n, resolve_param_type(t)) for n, t in spec)
+    return BuiltinModule(name, params, custom=obj)
+
+
+def user_package(*modules, name: str = "user", enums=()) -> dict:
+    """Build a builtin package from user classes/instances (pass alongside
+    compile.builtin_packages() to compile_script(packages=...))."""
+    return {
+        "name": name,
+        "builtins": [
+            m if isinstance(m, BuiltinModule) else builtin_from_class(m)
+            for m in modules
+        ],
+        "enums": list(enums),
+    }
 
 
 def _p(name, pt) -> ModuleParam:

@@ -259,6 +259,9 @@ class ScriptInstrument:
                               "val": jnp.zeros((num_voices,), jnp.float32)}
             elif kind == "delay":
                 state[key] = jnp.zeros((num_voices, spec[1]), jnp.float32)
+            elif kind == "user":
+                init = getattr(spec[1], "init_state", None)
+                state[key] = init(num_voices) if init is not None else {}
             else:
                 raise AssertionError(kind)
         return state
@@ -739,6 +742,34 @@ class _InlineEnv:
                     Val("float", arr=sel, scale=self.scale_name))
             self.ops.append(entry)
             return
+        bi = getattr(callee, "builtin", None)
+        if bi is not None and getattr(bi, "custom", None) is not None:
+            # reflection-registered user builtin (builtins.builtin_from_class)
+            self.p.state_specs[site] = ("user", bi.custom)
+            inputs = {}
+            for p, v in zip(callee.params, args):
+                kind = p.param_type.kind
+                if kind in ("buffer", "constant_or_buffer"):
+                    inputs[p.name] = self.buf_ref(v)
+                elif kind == "constant":
+                    inputs[p.name] = (self.buf_ref(v) if v.kind == "buffer"
+                                      else self.float_col(v))
+                elif kind == "boolean":
+                    arr = self.local_arr(v).astype(np.float32)
+                    inputs[p.name] = ("boolcol",) + self.float_col(
+                        Val("float", arr=arr, scale=self.scale_name))[1:]
+                elif kind == "one_of":
+                    inputs[p.name] = ("label", self._static_enum(
+                        v, f"user builtin {name} param {p.name!r}"))
+                else:
+                    raise PlanError(
+                        f"user builtin {name}: param {p.name!r} of type "
+                        f"{kind!r} is not supported (curve params cannot be "
+                        "lowered generically)")
+            self.ops.append({"op": "user", "dest": dest, "site": site,
+                             "cls": bi.custom, "inputs": inputs,
+                             "name": name, "ambient": self.scale_name})
+            return
         raise NotImplementedError(f"builtin {name}")
 
     # -- delay -----------------------------------------------------------
@@ -1056,6 +1087,22 @@ class _Renderer:
                 out = effects.distortion(x, e["type"], ig, og, off)
             self.write(e["dest"], out)
             return
+        if op == "user":
+            ins = {}
+            for k, r in e["inputs"].items():
+                if r[0] == "label":
+                    ins[k] = r[1]
+                elif r[0] == "boolcol":
+                    ins[k] = self.full(self.resolve(("col",) + r[1:])) > 0.5
+                else:
+                    ins[k] = self.full(self.resolve(r))
+            st = self.state.get(e["site"], {})
+            st2, out = e["cls"].render(st, ins, ctx)
+            if e["site"] in self.state:
+                self.state[e["site"]] = st2
+            out = jnp.where(self.ambient_mask(e["ambient"]), self.full(out), 0.0)
+            self.write(e["dest"], out)
+            return
         if op == "delay":
             self.exec_delay(e)
             return
@@ -1158,7 +1205,7 @@ class _Renderer:
 def _collect_state_sites(ops) -> List[str]:
     sites = []
     for e in ops:
-        if e["op"] in ("filter", "decimator"):
+        if e["op"] in ("filter", "decimator", "user"):
             sites.append(e["site"])
         if e["op"] == "osc" and e.get("mode") == "cumsum":
             sites.append(e["site"])

@@ -106,6 +106,7 @@ class Module:
     params: List[ModuleParam]
     builtin_name: Optional[str] = None
     info: Optional[ParsedModuleInfo] = None  # None for builtins
+    builtin: Optional[object] = None  # the BuiltinModule record (builtins only)
 
 
 @dataclass
@@ -209,7 +210,8 @@ class Parser:
             for b in pkg["builtins"]:
                 module_index = len(self.modules)
                 self.modules.append(
-                    Module(params=list(b.params), builtin_name=b.name, info=None)
+                    Module(params=list(b.params), builtin_name=b.name,
+                           info=None, builtin=b)
                 )
                 sr = SourceRange(_zero_loc(), _zero_loc())
                 self.globals.append(

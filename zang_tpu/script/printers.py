@@ -182,17 +182,23 @@ def dump_codegen(cs: CompiledScript) -> str:
     return "\n".join(lines) + "\n"
 
 
-def dump_builtins() -> str:
-    from .builtins import BUILTIN_ENUMS, BUILTIN_MODULES
-
+def dump_builtins(packages=None) -> str:
     lines = []
-    for e in BUILTIN_ENUMS:
-        vals = ", ".join(
-            v.label + ("(f32)" if v.payload == "f32" else "") for v in e.values)
-        lines.append(f"enum {e.name}: {vals}")
-    for b in BUILTIN_MODULES:
-        params = ", ".join(f"{p.name}: {p.param_type}" for p in b.params)
-        lines.append(f"module {b.name}({params})")
+    if packages is None:
+        from .compile import builtin_packages
+
+        packages = builtin_packages()
+    for pkg in packages:
+        for e in pkg["enums"]:
+            vals = ", ".join(
+                v.label + ("(f32)" if v.payload == "f32" else "")
+                for v in e.values)
+            lines.append(f"enum {e.name}: {vals}")
+    for pkg in packages:
+        for b in pkg["builtins"]:
+            params = ", ".join(f"{p.name}: {p.param_type}" for p in b.params)
+            custom = " [user]" if getattr(b, "custom", None) is not None else ""
+            lines.append(f"module {b.name}({params}){custom}")
     return "\n".join(lines) + "\n"
 
 

@@ -99,6 +99,7 @@ def bench_poly(chunk):
 
     voices = int(os.environ.get("ZANG_BENCH_POLY_VOICES", 16384))
     seconds = float(os.environ.get("ZANG_BENCH_POLY_SECONDS", 8.0))
+    chunk = int(os.environ.get("ZANG_BENCH_POLY_CHUNK", chunk))
     perf, total = build_poly_echo_performance(num_voices=voices, seconds=seconds)
     run, args = make_render_fn(perf, total, chunk_size=min(chunk, total))
     rtf = _steady_rtf(run, args, seconds)

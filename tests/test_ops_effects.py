@@ -525,3 +525,71 @@ class TestPallasTableLookup:
             jnp.asarray(idx), jnp.asarray(sel),
             pack_table(jnp.asarray(table)), interpret=True))
         np.testing.assert_array_equal(got, table[idx])
+
+
+class TestPallasSVFOnepass:
+    """One-pass voice-parallel table kernel (large V): exact sequential
+    arithmetic, no block seams. Interpret mode; the real-chip path is the
+    poly_echo capacity bench."""
+
+    def test_matches_two_phase_and_reference(self):
+        import os
+
+        from zang_tpu.ops.filters import svf_filter
+        from zang_tpu.ops.pallas_svf import (
+            _onepass_geometry, svf_filter_pallas_table, svf_onepass_table)
+        from zang_tpu.ops.segprog import eval_tiled_chunk
+
+        rng = np.random.default_rng(7)
+        V, n, S, t0 = 4096, 2048, 3, 512  # tile_len 16 -> t_rows 16
+        assert _onepass_geometry(V, n) is not None
+        tile = n // 128
+        blk = np.arange(128) * tile + t0
+        tb = np.full((V, 128, S), 2**31 - 1, np.int64)
+        cutv = np.zeros((V, 128, S), np.float32)
+        tb[:, :, 0] = blk[None, :]
+        cutv[:, :, 0] = rng.uniform(0.05, 0.9, (V, 128)).astype(np.float32)
+        tb[:, :, 1] = blk[None, :] + rng.integers(1, tile, (V, 128))
+        cutv[:, :, 1] = rng.uniform(0.05, 0.9, (V, 128)).astype(np.float32)
+        af = rng.integers(t0, t0 + n // 2, V).astype(np.int32)
+        x = rng.standard_normal((V, n)).astype(np.float32) * 0.3
+        l0 = rng.standard_normal(V).astype(np.float32) * 0.1
+        b0 = rng.standard_normal(V).astype(np.float32) * 0.1
+
+        # routing: ZANG_SVF_ONEPASS=1 opts in at this geometry
+        os.environ["ZANG_SVF_ONEPASS"] = "1"
+        try:
+            l1, b1, out1 = svf_filter_pallas_table(
+                jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+                jnp.asarray(tb.astype(np.int32)), jnp.asarray(cutv), 0.3, t0,
+                jnp.asarray(af), interpret=True)
+        finally:
+            del os.environ["ZANG_SVF_ONEPASS"]
+        direct = svf_onepass_table(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(tb.astype(np.int32)), jnp.asarray(cutv), 0.3, t0,
+            jnp.asarray(af), interpret=True)
+        assert np.array_equal(np.asarray(out1), np.asarray(direct[2]))
+
+        l2, b2, out2 = svf_filter_pallas_table(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(tb.astype(np.int32)), jnp.asarray(cutv), 0.3, t0,
+            jnp.asarray(af), interpret=True)
+        d = np.asarray(out1, np.float64) - np.asarray(out2, np.float64)
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -120.0, rms_db
+
+        # vs the affine-scan reference semantics (cut evaluated from the
+        # same tables): one-pass is the exact sequential loop
+        t_idx = np.arange(t0, t0 + n, dtype=np.int32)
+        cut_full = np.asarray(eval_tiled_chunk(
+            {"tb": jnp.asarray(tb.astype(np.int32)),
+             "cut": jnp.asarray(cutv)}, jnp.asarray(t_idx))["cut"])
+        act = t_idx[None, :] >= af[:, None]
+        la, ba, outa = svf_filter(
+            jnp.asarray(l0), jnp.asarray(b0), jnp.asarray(x), "low_pass",
+            jnp.asarray(cut_full), 0.3, jnp.asarray(act))
+        d = np.asarray(out1, np.float64) - np.asarray(outa, np.float64)
+        rms_db = 20 * np.log10(np.sqrt((d ** 2).mean()) + 1e-30)
+        assert rms_db < -110.0, rms_db
+        assert np.abs(np.asarray(l1) - np.asarray(la)).max() < 1e-5

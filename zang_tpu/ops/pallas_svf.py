@@ -443,9 +443,23 @@ def svf_filter_pallas_table(l0, b0, x, filter_type, tb, cutv, res, t0,
     Semantically identical to svf_filter_pallas with
     cut[v, t] = cutv[last slot with tb <= t] and
     active[v, t] = t >= active_from[v]."""
+    import os
+
     from .filters import FILTER_MULS
 
     V, n = x.shape
+    # ZANG_SVF_ONEPASS=1 opts in to the one-pass voice-parallel kernel at
+    # large V (~1/3 the VPU ops of the two-phase design, exact sequential
+    # numerics). OFF by default: in the end-to-end poly render its extra
+    # voice-major relayouts exceed HBM at the optimal 65536 chunk, and at
+    # smaller chunks the whole pipeline (either kernel) loses more to
+    # chunk-size overheads than the kernel saves — measured round 2:
+    # 16k chunk -> RTF 10.4, 32k -> 14.6, 65k (two-phase) -> 18.9 at
+    # V=16384. Isolated at [16384, 65536] the kernel wins 55 ms vs 99 ms.
+    if (os.environ.get("ZANG_SVF_ONEPASS", "0") == "1"
+            and _onepass_geometry(V, n) is not None):
+        return svf_onepass_table(l0, b0, x, filter_type, tb, cutv, res, t0,
+                                 active_from, interpret=interpret)
     T = n // LANES
     Vp = max(-(-V // 8) * 8, 8)
     if Vp > V_TILE:
@@ -571,3 +585,173 @@ def svf_filter_pallas(l0, b0, x, filter_type, cutoff, res, active=None,
     )
     out = out_t.transpose(1, 2, 0)[:V].reshape(V, n)
     return l_end[:V], b_end[:V], out
+
+
+# ---------------------------------------------------------------------------
+# One-pass voice-parallel kernel for LARGE voice counts.
+#
+# The two-phase design above exists to parallelize the TIME axis (128 blocks
+# on lanes) — necessary when voices alone can't fill the VPU (the Bach song
+# has 17). At large V the measured bottleneck inverts: the round-2 stage
+# split (V=16384, n=65536, real chip) put the two-phase table kernel at
+# ~75 ms against a ~21 ms HBM floor — VPU-op-bound at ~64 ops/voice-sample
+# (phase A's three trajectories + phase B's replay). With V >= ~4k voices
+# the lanes can be filled by VOICES instead: walk time sequentially, one
+# [VS, 128]-voice row per step, ~22 ops/voice-sample, x read once not
+# twice. No block seams either — the whole chunk is the exact sequential
+# reference arithmetic (Filter.zig:123-147 order), so numerics IMPROVE.
+
+ONEPASS_V_MIN = 4096  # padded voice count at/above which one-pass wins
+
+
+def _onepass_table_kernel(x_ref, tb_ref, cv_ref, start_ref, res_ref,
+                          muls_ref, base_ref, out_ref, end_ref, s_ref):
+    """Grid (n_vtiles, n_rowchunks). x_ref [t_rows, VS, 128] voice rows;
+    tb/cv [S, 1, VS, 128] gate-encoded boundary tables for the time tile
+    this row chunk lives in; start_ref [2, VS, 128] initial (l, b) per
+    voice tile; base_ref SMEM [1] absolute frame of sample 0."""
+    step = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    t_rows = x_ref.shape[0]
+    S = tb_ref.shape[0]
+    res = res_ref[0]
+    lm, bm, hm = muls_ref[0], muls_ref[1], muls_ref[2]
+
+    @pl.when(step == 0)
+    def _():
+        s_ref[0] = start_ref[0]
+        s_ref[1] = start_ref[1]
+
+    def body(i, carry):
+        l, b = carry
+        x = _row(x_ref, i)
+        i_abs = base_ref[0] + step * t_rows + i  # scalar absolute frame
+        ce = cv_ref[0, 0]
+        for j in range(1, S):
+            ce = jnp.where(i_abs >= tb_ref[j, 0], cv_ref[j, 0], ce)
+        m, cut, off = _decode_gate(ce)
+        nl, nb, h = _svf_step_rows(l, b, x, cut, res, off)
+        out = nl * lm + nb * bm + h * hm
+        out_ref[pl.ds(i, 1)] = jnp.where(m, out, np.float32(0.0))[None]
+        return nl, nb
+
+    l, b = jax.lax.fori_loop(0, t_rows, body, (s_ref[0], s_ref[1]))
+    s_ref[0] = l
+    s_ref[1] = b
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        end_ref[0] = s_ref[0]
+        end_ref[1] = s_ref[1]
+
+
+@functools.partial(jax.jit, static_argnames=("t_rows", "tile_len", "vs",
+                                             "interpret"))
+def _svf_onepass_table(x_v, tb_v, cv_v, base, res, muls, l0, b0,
+                       t_rows, tile_len, vs, interpret=False):
+    """x_v: [n, VR, 128] f32 (voice v = row*128 + lane); tb_v/cv_v:
+    [S, nt, VR, 128] gate-encoded tables (time tile t covers samples
+    [t*tile_len, (t+1)*tile_len)); base: [1] i32; l0/b0: [VR, 128].
+    Returns (out_v [n, VR, 128], l_end [VR, 128], b_end [VR, 128])."""
+    n, VR, _ = x_v.shape
+    S = tb_v.shape[0]
+    grid = (VR // vs, n // t_rows)
+    row_spec = pl.BlockSpec((t_rows, vs, LANES), lambda v, i: (i, v, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(
+        (S, 1, vs, LANES),
+        lambda v, i: (0, (i * t_rows) // tile_len, v, 0),
+        memory_space=pltpu.VMEM)
+    fixed = pl.BlockSpec((2, vs, LANES), lambda v, i: (0, v, 0),
+                         memory_space=pltpu.VMEM)
+    start = jnp.stack([l0, b0])
+    out_v, end = pl.pallas_call(
+        _onepass_table_kernel,
+        grid=grid,
+        in_specs=[row_spec, tab_spec, tab_spec, fixed,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[row_spec, fixed],
+        out_shape=[jax.ShapeDtypeStruct((n, VR, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((2, VR, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, vs, LANES), jnp.float32)],
+        # out rides x's HBM buffer: each row block is consumed before it is
+        # rewritten (same block index maps), and the [n, VR, 128] voice-
+        # major temporaries are exactly what blows HBM at large V x chunk
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(x_v, tb_v, cv_v, start, res, muls, base)
+    return out_v, end[0], end[1]
+
+
+def _onepass_geometry(V: int, n: int):
+    """(Vp, vs, t_rows, tile_len) for the one-pass kernel, or None if the
+    shapes don't fit it. tile_len is the time-tile span of the incoming
+    [V, nt=LANES, S] table format (nt tiles of n/LANES samples)."""
+    if n % LANES:
+        return None
+    tile_len = n // LANES
+    t_rows = 1
+    for d in range(1, min(64, tile_len) + 1):
+        if tile_len % d == 0:
+            t_rows = d
+    if t_rows < 8:
+        return None
+    Vp = -(-V // LANES) * LANES  # multiple of 128 lanes
+    vs = min(64, Vp // LANES)
+    vtile = vs * LANES
+    Vp = -(-Vp // vtile) * vtile
+    if Vp < ONEPASS_V_MIN:
+        return None
+    return Vp, vs, t_rows, tile_len
+
+
+def svf_onepass_table(l0, b0, x, filter_type, tb, cutv, res, t0,
+                      active_from=None, interpret=False):
+    """One-pass drop-in for svf_filter_pallas_table at large V (same
+    argument contract: tb/cutv [V, nt=LANES, S] raw tables)."""
+    from .filters import FILTER_MULS
+
+    V, n = x.shape
+    geo = _onepass_geometry(V, n)
+    assert geo is not None
+    Vp, vs, t_rows, tile_len = geo
+    VR = Vp // LANES
+
+    l_mul, b_mul, h_mul = FILTER_MULS[filter_type]
+    cv = jnp.clip(jnp.asarray(cutv, jnp.float32), 0.0, 1.0)
+    tb = jnp.asarray(tb, jnp.int32)
+    r = jnp.float32(1.0) - jnp.clip(jnp.asarray(res, jnp.float32), 0.0, 1.0)
+    if active_from is not None:
+        af = jnp.asarray(active_from, jnp.int32)[:, None, None]
+        tb = jnp.maximum(tb, af)
+    neg = jnp.full((V, LANES, 1), np.int32(-(2 ** 31)), jnp.int32)
+    tb = jnp.concatenate([neg, tb], axis=2)
+    cv = jnp.concatenate([jnp.full((V, LANES, 1), np.float32(-1.0)), cv],
+                         axis=2)
+
+    # [V, nt, S1] -> [S1, nt, VR, 128]
+    def to_tab(a, fill):
+        if Vp != V:
+            pad = jnp.full((Vp - V,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, pad], axis=0)
+        a = a.transpose(2, 1, 0)  # [S1, nt, Vp]
+        return a.reshape(a.shape[0], a.shape[1], VR, LANES)
+
+    def to_v(arr):  # [V, n] -> [n, VR, 128]
+        if Vp != V:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((Vp - V, n), jnp.float32)], axis=0)
+        return arr.transpose(1, 0).reshape(n, VR, LANES)
+
+    base = jnp.asarray([t0], jnp.int32)
+    muls = jnp.array([l_mul, b_mul, h_mul], jnp.float32)
+    l0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(l0).reshape(VR, LANES)
+    b0p = jnp.zeros((Vp,), jnp.float32).at[:V].set(b0).reshape(VR, LANES)
+    out_v, l_end, b_end = _svf_onepass_table(
+        to_v(x), to_tab(tb, np.int32(2 ** 31 - 1)),
+        to_tab(cv, np.float32(-1.0)), base, r.reshape(1), muls,
+        l0p, b0p, t_rows, tile_len, vs, interpret=interpret)
+    out = out_v.reshape(n, Vp).transpose(1, 0)[:V]
+    return (l_end.reshape(Vp)[:V], b_end.reshape(Vp)[:V], out)

@@ -1,0 +1,127 @@
+"""Live serving fleet (serve/live.py): N concurrent sessions, one vmapped
+device step, bit-equal to N independent LiveSessions fed the same events."""
+
+import numpy as np
+import pytest
+
+from zang_tpu.host import instruments as ti
+from zang_tpu.host.live import LiveSession
+from zang_tpu.serve.live import LiveFleet
+
+SR = 48000.0
+BLOCK = 1024
+
+
+def _events(seed, n_notes=6):
+    rng = np.random.default_rng(seed)
+    evs = []
+    for i in range(n_notes):
+        f = float(np.float32(220.0 * 2 ** (rng.integers(0, 13) / 12.0)))
+        evs.append((i, {"freq": f, "note_on": True}, i + 1))
+        evs.append((i + 1, {"freq": f, "note_on": False}, i + 1))
+    by_block = {}
+    for blk, params, nid in evs:
+        by_block.setdefault(blk, []).append((params, nid))
+    return by_block
+
+
+def _drive(push, by_block, blk, lane=None):
+    for params, nid in by_block.get(blk, []):
+        if lane is None:
+            push(0, params, note_id=nid)
+        else:
+            push(lane, 0, params, note_id=nid)
+
+
+class TestFleetMatchesSessions:
+    def test_three_lanes_bit_equal(self):
+        n_blocks = 10
+        seeds = [1, 2, 3]
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 3)], 3, SR,
+                          block_size=BLOCK)
+        singles = [LiveSession([(ti.NiceInstrument(0.3), 3)], SR, BLOCK)
+                   for _ in seeds]
+        streams = [_events(s) for s in seeds]
+
+        fleet_out = []
+        single_out = [[] for _ in seeds]
+        for blk in range(n_blocks):
+            for lane, bb in enumerate(streams):
+                _drive(fleet.push_event, bb, blk, lane=lane)
+                _drive(singles[lane].push_event, bb, blk)
+            fleet_out.append(fleet.render_block())
+            for lane in range(len(seeds)):
+                single_out[lane].append(singles[lane].render_block())
+        fleet_all = np.concatenate(fleet_out, axis=2)
+        for lane in range(len(seeds)):
+            ref = np.concatenate(single_out[lane], axis=1)
+            # identical arithmetic up to XLA reassociation under vmap:
+            # ulp-level only
+            assert np.abs(fleet_all[lane] - ref).max() < 1e-6, f"lane {lane}"
+        assert np.abs(fleet_all).max() > 0.01
+
+    def test_script_instrument_lanes(self):
+        from zang_tpu.script import compile_script
+        from zang_tpu.script.jax_backend import ScriptInstrument
+
+        src = """
+V = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.02), decay=.cubed(0.1),
+                 release=.linear(0.3), sustain_volume=0.8, note_on)
+    out e * PulseOsc(freq, color=0.4) * 0.5
+end
+"""
+        cs = compile_script(src)
+
+        def make_parts():
+            return [(ScriptInstrument(cs, "V"), 2)]
+
+        fleet = LiveFleet(make_parts, 2, 44100.0, block_size=BLOCK)
+        singles = [LiveSession(make_parts(), 44100.0, BLOCK) for _ in range(2)]
+        streams = [_events(7), _events(8)]
+        outs, refs = [], [[], []]
+        for blk in range(8):
+            for lane, bb in enumerate(streams):
+                _drive(fleet.push_event, bb, blk, lane=lane)
+                _drive(singles[lane].push_event, bb, blk)
+            outs.append(fleet.render_block())
+            for lane in range(2):
+                refs[lane].append(singles[lane].render_block())
+        fleet_all = np.concatenate(outs, axis=2)
+        for lane in range(2):
+            ref = np.concatenate(refs[lane], axis=1)
+            assert np.abs(fleet_all[lane] - ref).max() < 1e-6, f"lane {lane}"
+        assert np.abs(fleet_all).max() > 0.01
+
+
+class TestFleetOps:
+    def test_lane_reset_isolated(self):
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
+                          block_size=BLOCK)
+        bb = _events(4)
+        for blk in range(3):
+            _drive(fleet.push_event, bb, blk, lane=0)
+            _drive(fleet.push_event, bb, blk, lane=1)
+            fleet.render_block()
+        fleet.reset_lane(1)
+        # lane 1 restarts from silence/frame 0; lane 0 keeps ringing
+        out = fleet.render_block()
+        assert np.abs(out[0]).max() > 1e-4
+        assert np.abs(out[1]).max() < 1e-6
+        assert fleet.lanes[1].frame == BLOCK
+        assert fleet.lanes[0].frame == 4 * BLOCK
+
+    def test_capacity_growth_is_fleet_wide(self):
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
+                          block_size=BLOCK, slot_capacity=2)
+        # dense burst on lane 0 only
+        for i in range(12):
+            f = 220.0 * 2 ** ((i % 12) / 12.0)
+            nid = fleet.push_event(0, 0, {"freq": f, "note_on": True},
+                                   impulse_frame=i * 80)
+            fleet.push_event(0, 0, {"freq": f, "note_on": False},
+                             note_id=nid, impulse_frame=i * 80 + 40)
+        out = fleet.render_block()
+        assert np.isfinite(out).all()
+        assert fleet.lanes[0].slot_capacity == fleet.lanes[1].slot_capacity
+        assert fleet.lanes[0].slot_capacity > 2

@@ -251,6 +251,11 @@ class LiveSession:
         return self._window_slice(plan, f0, f1, self._horizon)
 
     def _make_step(self):
+        return jax.jit(self._step_body())
+
+    def _step_body(self):
+        """The pure per-block step (unjitted — LiveFleet vmaps it over a
+        lane axis before jitting)."""
         instruments = [p.instrument for p in self.parts]
         num_channels = self.num_channels
         post_fn = self.post_fn
@@ -277,10 +282,11 @@ class LiveSession:
                 out = multi + mix[None, :]
             return new_states, post_state, out
 
-        return jax.jit(step)
+        return step
 
-    def render_block(self) -> np.ndarray:
-        """Render the next block; returns f32 [num_channels, block_size]."""
+    def _host_block(self) -> Tuple[int, int]:
+        """Host half 1: drain queues, extend segments, grow the horizon.
+        Returns the block's (f0, f1)."""
         f0, f1 = self.frame, self.frame + self.block_size
         with self._lock:
             drained = [part.queue.consume() for part in self.parts]
@@ -290,9 +296,41 @@ class LiveSession:
             self._horizon *= 2
         for part in self.parts:
             self._extend_segments(part)
+        return f0, f1
+
+    def _window_progs(self, f0: int, f1: int):
+        """Host half 2: per-part program windows at the current
+        slot_capacity. Raises RuntimeError('...slot_capacity...') on
+        overflow — callers own the grow/degrade policy."""
+        return [self._part_progs(part, f0, f1) for part in self.parts]
+
+    def _degraded_window_progs(self, f0: int, f1: int):
+        """Windows with the oldest overflow segments dropped (the
+        reference drops events past its 32-impulse cap, notes.zig:108-118;
+        transient mis-render, stream survives)."""
+        import warnings
+
+        warnings.warn(
+            f"live block overflows max_slot_capacity="
+            f"{self.max_slot_capacity}; dropping oldest segments "
+            "for this block", RuntimeWarning)
+        liveplan.TRUNCATE_OVERFLOW = True
+        try:
+            return self._window_progs(f0, f1)
+        finally:
+            liveplan.TRUNCATE_OVERFLOW = False
+
+    def _ensure_states(self) -> None:
+        for part in self.parts:
+            if part.dev_state is None:
+                part.dev_state = part.instrument.init_state(part.polyphony)
+
+    def render_block(self) -> np.ndarray:
+        """Render the next block; returns f32 [num_channels, block_size]."""
+        f0, f1 = self._host_block()
         while True:
             try:
-                progs = [self._part_progs(part, f0, f1) for part in self.parts]
+                progs = self._window_progs(f0, f1)
                 break
             except RuntimeError as e:
                 if "slot_capacity" not in str(e):
@@ -300,33 +338,13 @@ class LiveSession:
                 if self.slot_capacity < self.max_slot_capacity:
                     # a dense block overflowed the program window — grow and
                     # retry (the jitted step re-specializes on the new
-                    # shapes). The reference host degrades by silently
-                    # dropping events past its 32-impulse cap
-                    # (notes.zig:108-118); we keep every event and pay one
-                    # re-jit instead.
+                    # shapes). We keep every event and pay one re-jit.
                     self.slot_capacity = min(
                         self.slot_capacity * 2, self.max_slot_capacity)
                     continue
-                # at the cap: degrade like the reference instead of killing
-                # the live stream — drop the oldest overflow segments for
-                # this window only (transient mis-render, stream survives)
-                import warnings
-
-                warnings.warn(
-                    f"live block overflows max_slot_capacity="
-                    f"{self.max_slot_capacity}; dropping oldest segments "
-                    "for this block", RuntimeWarning)
-                liveplan.TRUNCATE_OVERFLOW = True
-                try:
-                    progs = [
-                        self._part_progs(part, f0, f1) for part in self.parts
-                    ]
-                finally:
-                    liveplan.TRUNCATE_OVERFLOW = False
+                progs = self._degraded_window_progs(f0, f1)
                 break
-        for part in self.parts:
-            if part.dev_state is None:
-                part.dev_state = part.instrument.init_state(part.polyphony)
+        self._ensure_states()
         if self._step is None:
             self._step = self._make_step()
         t_idx = jnp.asarray(np.arange(f0, f1, dtype=np.int32))

@@ -1,0 +1,188 @@
+"""Live serving fleet: many concurrent interactive sessions, one device step.
+
+The live-tier analog of serve/batch.py's shared-graph renderer. serve/batch
+amortizes one COMPILE across N songs; LiveFleet amortizes one DISPATCH (and
+one compile) across N concurrent live sessions per chip: every lane's
+per-block program windows have identical shapes (same instrument spec, same
+slot capacity), so the per-session block step (host/live.py) vmaps over a
+leading lane axis and the whole fleet renders each block in a single jitted
+call. The reference has no serving tier at all (single-process SDL host,
+examples/example.zig); this is the TPU-native scale-out of its audio
+callback.
+
+Host state (queues, dispatchers, triggers, incremental planners, frame
+clocks) stays per lane — lanes take events independently and may start at
+different times (t_idx is per-lane data). Device state lives STACKED on the
+lane axis between blocks, so steady-state per-block host work is N window
+extractions (O(slot_capacity) each, via host/liveplan.py) plus one dispatch.
+
+Constraints: all lanes share one instrument spec (the parts factory is
+called once per lane so instruments carry no cross-lane state), one block
+size, one sample rate, and one slot capacity (growth is fleet-wide — a
+dense block on any lane re-jits the shared step once). A lane can be
+reset in place (fresh queues/planners/state) without touching the others.
+"""
+
+import threading
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..host.live import LiveSession
+
+
+class LiveFleet:
+    """N concurrent live sessions rendered by one vmapped device step.
+
+    make_parts: () -> [(instrument, polyphony)] — called once per lane;
+    session_kwargs pass through to each LiveSession (block_size,
+    num_channels, post_fn/post_init_state factories, slot caps...).
+    """
+
+    def __init__(
+        self,
+        make_parts: Callable[[], Sequence],
+        num_lanes: int,
+        sample_rate: float,
+        **session_kwargs,
+    ) -> None:
+        if num_lanes < 1:
+            raise ValueError("num_lanes must be >= 1")
+        self._make_parts = make_parts
+        self._sample_rate = float(sample_rate)
+        self._session_kwargs = dict(session_kwargs)
+        self.lanes: List[LiveSession] = [
+            self._new_session() for _ in range(num_lanes)
+        ]
+        self._step = None
+        self._step_capacity = None
+        self._states = None  # per-part states, leaves stacked [L, ...]
+        self._post_state = None  # stacked [L, ...]
+        self._pending_reset: List[int] = []
+        self._lock = threading.Lock()
+
+    # -- lane management ---------------------------------------------------
+
+    @property
+    def num_lanes(self) -> int:
+        return len(self.lanes)
+
+    def _new_session(self) -> LiveSession:
+        return LiveSession(self._make_parts(), self._sample_rate,
+                           **self._session_kwargs)
+
+    def reset_lane(self, lane: int) -> None:
+        """Replace a lane with a fresh session (fresh queues, planners,
+        clock); its stacked device state re-initializes on the next block.
+        Other lanes are untouched."""
+        with self._lock:
+            self.lanes[lane] = self._new_session()
+            self._pending_reset.append(lane)
+
+    # -- event input (delegates) ------------------------------------------
+
+    def push_event(self, lane: int, part: int, params: dict,
+                   note_id: Optional[int] = None,
+                   impulse_frame: int = 0) -> int:
+        return self.lanes[lane].push_event(part, params, note_id,
+                                           impulse_frame)
+
+    def key_event(self, lane: int, part: int, key: str, down: bool,
+                  **kw) -> Optional[int]:
+        return self.lanes[lane].key_event(part, key, down, **kw)
+
+    # -- block rendering ---------------------------------------------------
+
+    def _sync_capacity(self) -> int:
+        cap = max(s.slot_capacity for s in self.lanes)
+        for s in self.lanes:
+            s.slot_capacity = cap
+        return cap
+
+    def _collect_windows(self):
+        """Host halves for every lane with fleet-wide capacity policy."""
+        spans = [s._host_block() for s in self.lanes]
+        self._sync_capacity()
+        while True:
+            try:
+                windows = [
+                    s._window_progs(f0, f1)
+                    for s, (f0, f1) in zip(self.lanes, spans)
+                ]
+                return spans, windows
+            except RuntimeError as e:
+                if "slot_capacity" not in str(e):
+                    raise
+                ref = self.lanes[0]
+                if ref.slot_capacity < ref.max_slot_capacity:
+                    grown = min(ref.slot_capacity * 2, ref.max_slot_capacity)
+                    for s in self.lanes:
+                        s.slot_capacity = grown
+                    continue
+                windows = []
+                for s, (f0, f1) in zip(self.lanes, spans):
+                    try:
+                        windows.append(s._window_progs(f0, f1))
+                    except RuntimeError as e2:
+                        if "slot_capacity" not in str(e2):
+                            raise
+                        windows.append(s._degraded_window_progs(f0, f1))
+                return spans, windows
+
+    def _init_states(self) -> None:
+        """(Re)build the stacked device state for fresh lanes."""
+        fresh = self._states is None
+        with self._lock:
+            resets, self._pending_reset = self._pending_reset, []
+        if fresh:
+            per_lane = []
+            for s in self.lanes:
+                s._ensure_states()
+                per_lane.append(([p.dev_state for p in s.parts],
+                                 s.post_state))
+            states, posts = zip(*per_lane)
+            self._states = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *states)
+            self._post_state = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *posts)
+            return
+        for lane in resets:
+            s = self.lanes[lane]
+            s._ensure_states()
+            lane_state = [p.dev_state for p in s.parts]
+            self._states = jax.tree_util.tree_map(
+                lambda acc, x: acc.at[lane].set(x), self._states, lane_state)
+            self._post_state = jax.tree_util.tree_map(
+                lambda acc, x: acc.at[lane].set(x),
+                self._post_state, s.post_state)
+
+    def render_block(self) -> np.ndarray:
+        """Render every lane's next block in ONE device call.
+
+        Returns f32 [num_lanes, num_channels, block_size]."""
+        spans, windows = self._collect_windows()
+        self._init_states()
+        cap = self.lanes[0].slot_capacity
+        if self._step is None or self._step_capacity != cap:
+            body = self.lanes[0]._step_body()
+            self._step = jax.jit(jax.vmap(body))
+            self._step_capacity = cap
+
+        t_idx = np.stack([
+            np.arange(f0, f1, dtype=np.int32) for (f0, f1) in spans
+        ])
+        progs = jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *windows)
+        self._states, self._post_state, out = self._step(
+            self._states, self._post_state, jnp.asarray(t_idx), progs)
+        for s, (_f0, f1) in zip(self.lanes, spans):
+            s.frame = f1
+        return np.asarray(out)
+
+    def render_blocks(self, count: int) -> np.ndarray:
+        """[num_lanes, num_channels, count*block_size]."""
+        return np.concatenate([self.render_block() for _ in range(count)],
+                              axis=2)

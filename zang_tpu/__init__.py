@@ -44,6 +44,7 @@ _LAZY = {
     "deviation_dbfs": ("zang_tpu.graph.fidelity", "deviation_dbfs"),
     "BatchRenderer": ("zang_tpu.serve.batch", "BatchRenderer"),
     "RenderJob": ("zang_tpu.serve.batch", "RenderJob"),
+    "LiveFleet": ("zang_tpu.serve.live", "LiveFleet"),
 }
 
 

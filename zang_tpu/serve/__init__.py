@@ -1,3 +1,4 @@
-"""Batch serving: render fleets of independent songs (SCALING.md tier 3)."""
+"""Serving: batch song fleets (tier 3) + live session fleets (tier 4)."""
 
 from .batch import BatchRenderer, RenderJob, SharedGraphCache  # noqa: F401
+from .live import LiveFleet  # noqa: F401

@@ -94,6 +94,40 @@ end
         assert np.abs(fleet_all).max() > 0.01
 
 
+class TestFleetSharded:
+    def test_lane_sharded_matches_unsharded(self):
+        """8 lanes sharded over the 8-device virtual mesh == unsharded
+        fleet, block for block (pure annotation; no collectives)."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("lanes",))
+        make = lambda: [(ti.NiceInstrument(0.3), 2)]
+        sharded = LiveFleet(make, 8, SR, block_size=BLOCK, mesh=mesh)
+        plain = LiveFleet(make, 8, SR, block_size=BLOCK)
+        streams = [_events(10 + lane) for lane in range(8)]
+        outs_s, outs_p = [], []
+        for blk in range(6):
+            for lane, bb in enumerate(streams):
+                _drive(sharded.push_event, bb, blk, lane=lane)
+                _drive(plain.push_event, bb, blk, lane=lane)
+            outs_s.append(sharded.render_block())
+            outs_p.append(plain.render_block())
+        a = np.concatenate(outs_s, axis=2)
+        b = np.concatenate(outs_p, axis=2)
+        assert np.abs(a - b).max() < 1e-6
+        assert np.abs(a).max() > 0.01
+
+    def test_lane_count_must_divide_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("lanes",))
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 6, SR,
+                      block_size=BLOCK, mesh=mesh)
+
+
 class TestFleetOps:
     def test_lane_reset_isolated(self):
         fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,

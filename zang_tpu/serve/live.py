@@ -21,6 +21,11 @@ called once per lane so instruments carry no cross-lane state), one block
 size, one sample rate, and one slot capacity (growth is fleet-wide — a
 dense block on any lane re-jits the shared step once). A lane can be
 reset in place (fresh queues/planners/state) without touching the others.
+
+Multi-chip: pass a 1-axis `mesh` and the lane axis shards over it — lanes
+are independent, so GSPMD partitions the step with zero collectives and
+ONE dispatch drives every chip (num_lanes must be a multiple of the mesh
+size).
 """
 
 import threading
@@ -30,6 +35,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..host.live import LiveSession
 
@@ -47,10 +53,20 @@ class LiveFleet:
         make_parts: Callable[[], Sequence],
         num_lanes: int,
         sample_rate: float,
+        mesh: Optional[Mesh] = None,
+        mesh_axis: str = "lanes",
         **session_kwargs,
     ) -> None:
         if num_lanes < 1:
             raise ValueError("num_lanes must be >= 1")
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            if num_lanes % n_dev:
+                raise ValueError(
+                    f"num_lanes={num_lanes} must be a multiple of the mesh "
+                    f"size ({n_dev}) to shard the lane axis")
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
         self._make_parts = make_parts
         self._sample_rate = float(sample_rate)
         self._session_kwargs = dict(session_kwargs)
@@ -132,6 +148,21 @@ class LiveFleet:
                         windows.append(s._degraded_window_progs(f0, f1))
                 return spans, windows
 
+    def _lane_shard(self, tree):
+        """Place every leaf with its leading (lane) axis sharded over the
+        mesh; lanes never interact, so this is pure GSPMD annotation — no
+        collectives in the compiled step (SURVEY.md §2f comm-backend row)."""
+        if self._mesh is None:
+            return tree
+
+        def put(x):
+            x = jnp.asarray(x)
+            spec = P(self._mesh_axis, *([None] * (x.ndim - 1))) \
+                if x.ndim >= 1 else P()
+            return jax.device_put(x, NamedSharding(self._mesh, spec))
+
+        return jax.tree_util.tree_map(put, tree)
+
     def _init_states(self) -> None:
         """(Re)build the stacked device state for fresh lanes."""
         fresh = self._states is None
@@ -144,10 +175,10 @@ class LiveFleet:
                 per_lane.append(([p.dev_state for p in s.parts],
                                  s.post_state))
             states, posts = zip(*per_lane)
-            self._states = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *states)
-            self._post_state = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *posts)
+            self._states = self._lane_shard(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *states))
+            self._post_state = self._lane_shard(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *posts))
             return
         for lane in resets:
             s = self.lanes[lane]
@@ -174,10 +205,11 @@ class LiveFleet:
         t_idx = np.stack([
             np.arange(f0, f1, dtype=np.int32) for (f0, f1) in spans
         ])
-        progs = jax.tree_util.tree_map(
-            lambda *xs: jnp.asarray(np.stack(xs)), *windows)
+        progs = self._lane_shard(jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *windows))
+        t_idx = self._lane_shard(jnp.asarray(t_idx))
         self._states, self._post_state, out = self._step(
-            self._states, self._post_state, jnp.asarray(t_idx), progs)
+            self._states, self._post_state, t_idx, progs)
         for s, (_f0, f1) in zip(self.lanes, spans):
             s.frame = f1
         return np.asarray(out)

@@ -75,6 +75,7 @@ class LiveFleet:
         ]
         self._step = None
         self._step_capacity = None
+        self._pack = None
         self._states = None  # per-part states, leaves stacked [L, ...]
         self._post_state = None  # stacked [L, ...]
         self._pending_reset: List[int] = []
@@ -190,6 +191,52 @@ class LiveFleet:
                 lambda acc, x: acc.at[lane].set(x),
                 self._post_state, s.post_state)
 
+    def _build_step(self, progs_np) -> None:
+        """Jit the vmapped per-lane step, specialized to the current prog
+        window shapes. The per-block upload is latency-bound through the
+        remote tunnel (one RPC per array), so ALL per-block inputs — every
+        program-window leaf plus the lane's start frame — are packed into a
+        single [L, words] uint32 array on the host and unpacked with free
+        bitcasts inside the jitted step: one transfer per block."""
+        body = self.lanes[0]._step_body()
+        block = self.lanes[0].block_size
+        leaves, treedef = jax.tree_util.tree_flatten(progs_np)
+        # every program leaf the planners emit is a 4-byte scalar type
+        # (f32/i32/u32); widen here if that ever changes
+        assert all(l.dtype.itemsize == 4 for l in leaves), \
+            [l.dtype for l in leaves]
+        shapes = [l.shape[1:] for l in leaves]
+        dtypes = [l.dtype for l in leaves]
+        sizes = [int(np.prod(s, dtype=np.int64)) for s in shapes]
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+
+        def pack(spans, windows):
+            progs = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *windows)
+            L = len(windows)
+            flat = [
+                np.ascontiguousarray(l).view(np.uint32).reshape(L, -1)
+                for l in jax.tree_util.tree_leaves(progs)
+            ]
+            f0s = np.asarray([[f0] for (f0, _f1) in spans], dtype=np.int32)
+            return np.concatenate([f0s.view(np.uint32)] + flat, axis=1)
+
+        def lane_step(states, post_state, packed):
+            f0 = jax.lax.bitcast_convert_type(packed[0], jnp.int32)
+            t_idx = f0 + jnp.arange(block, dtype=jnp.int32)
+            body_leaves = []
+            for i in range(len(sizes)):
+                seg = packed[1 + offs[i]:1 + offs[i + 1]]
+                seg = jax.lax.bitcast_convert_type(
+                    seg, jnp.dtype(dtypes[i]))
+                body_leaves.append(seg.reshape(shapes[i]))
+            progs = jax.tree_util.tree_unflatten(treedef, body_leaves)
+            return body(states, post_state, t_idx, progs)
+
+        self._pack = pack
+        self._step = jax.jit(jax.vmap(lane_step))
+        self._step_capacity = self.lanes[0].slot_capacity
+
     def render_block(self) -> np.ndarray:
         """Render every lane's next block in ONE device call.
 
@@ -198,18 +245,11 @@ class LiveFleet:
         self._init_states()
         cap = self.lanes[0].slot_capacity
         if self._step is None or self._step_capacity != cap:
-            body = self.lanes[0]._step_body()
-            self._step = jax.jit(jax.vmap(body))
-            self._step_capacity = cap
-
-        t_idx = np.stack([
-            np.arange(f0, f1, dtype=np.int32) for (f0, f1) in spans
-        ])
-        progs = self._lane_shard(jax.tree_util.tree_map(
-            lambda *xs: jnp.asarray(np.stack(xs)), *windows))
-        t_idx = self._lane_shard(jnp.asarray(t_idx))
+            self._build_step(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *windows))
+        packed = self._lane_shard(jnp.asarray(self._pack(spans, windows)))
         self._states, self._post_state, out = self._step(
-            self._states, self._post_state, t_idx, progs)
+            self._states, self._post_state, packed)
         for s, (_f0, f1) in zip(self.lanes, spans):
             s.frame = f1
         return np.asarray(out)

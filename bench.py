@@ -12,6 +12,18 @@ LAST. Metrics, in print order:
                                StereoEchoes sustainable at RTF=1 on one chip
                                (measured at 16384 voices, scaled by RTF);
                                vs_baseline = value / 1024
+  batch_serve_rtf_aggregate    tier-3 serving: N Bach-slice WAV jobs through
+                               BatchRenderer (shared compile, i16 mixdown,
+                               streamed WAVs to disk), aggregate audio
+                               seconds per wall second on one chip;
+                               vs_baseline = value (baseline: 1x realtime
+                               delivery — the reference has no serving tier)
+  live_fleet_sessions_per_chip tier-4 serving: 64 concurrent live sessions
+                               vmapped into one device step; value =
+                               lanes * block_budget / block_time (realtime-
+                               session equivalents); vs_baseline = value
+                               (baseline: the reference's single SDL host =
+                               1 interactive session per machine)
   bach_render_fidelity_rms_dbfs  full-render deviation vs the parity oracle
                                (budget < -90); vs_baseline = value / -90
                                (>1 means within budget)
@@ -26,10 +38,16 @@ Env:
   ZANG_BENCH_SECONDS   song render length (default 385, the write_wav
                        golden duration); also the fidelity compare length
   ZANG_BENCH_CHUNK     chunk size (default 65536)
-  ZANG_BENCH_METRICS   comma list to subset: sampler,poly,fidelity,song
+  ZANG_BENCH_METRICS   comma list to subset:
+                       sampler,poly,serve,fleet,fidelity,song
   ZANG_BENCH_POLY_VOICES / ZANG_BENCH_POLY_SECONDS  capacity config
                        (default 16384 voices, 8 s)
   ZANG_BENCH_SAMPLER_SECONDS  sampler config length (default 60 s)
+  ZANG_BENCH_SERVE_SONGS / ZANG_BENCH_SERVE_SECONDS  tier-3 config
+                       (default 6 jobs x 60 s; short jobs are host-prep
+                       bound at ~0.3 s/job)
+  ZANG_BENCH_FLEET_LANES / ZANG_BENCH_FLEET_BLOCK  tier-4 config
+                       (default 64 lanes x 4096-sample blocks)
 """
 
 import json
@@ -112,6 +130,77 @@ def bench_poly(chunk):
     )
 
 
+def bench_serve(chunk):
+    """Tier-3 aggregate WAV throughput: compile is warmed by one short job,
+    then N jobs are timed end-to-end (host prep, render, i16 mixdown,
+    download, disk) through the shared-graph BatchRenderer."""
+    import tempfile
+
+    from zang_tpu.host import song as sm
+    from zang_tpu.serve.batch import BatchRenderer, RenderJob
+
+    songs = int(os.environ.get("ZANG_BENCH_SERVE_SONGS", 6))
+    seconds = float(os.environ.get("ZANG_BENCH_SERVE_SECONDS", 60.0))
+
+    def mk(secs):
+        total = int(secs * sm.SAMPLE_RATE)
+        return lambda: (sm.build_performance(total), total)
+
+    with tempfile.TemporaryDirectory() as out:
+        br = BatchRenderer(out_dir=out, chunk_size=chunk)
+        warm = br.run([RenderJob(name="warm", build=mk(8.0), volume=0.25)])
+        assert warm[0].status == "ok", warm[0].error
+        jobs = [
+            RenderJob(name=f"job_{i:02d}", build=mk(seconds), volume=0.25)
+            for i in range(songs)
+        ]
+        t0 = time.time()
+        results = br.run(jobs)
+        wall = time.time() - t0
+    audio = sum(r.seconds for r in results if r.status == "ok")
+    assert all(r.status == "ok" for r in results), [r.error for r in results]
+    rtf = audio / wall
+    emit("batch_serve_rtf_aggregate", round(rtf, 1), "x_realtime_wav_delivery",
+         round(rtf, 1))
+
+
+def bench_fleet():
+    """Tier-4 live serving: lanes concurrent sessions, one vmapped step per
+    block; value = lanes * block_budget / median block time."""
+    import numpy as np
+
+    from zang_tpu.host import instruments as ti
+    from zang_tpu.serve.live import LiveFleet
+
+    lanes = int(os.environ.get("ZANG_BENCH_FLEET_LANES", 64))
+    block = int(os.environ.get("ZANG_BENCH_FLEET_BLOCK", 4096))
+    sr = 48000.0
+    rng = np.random.default_rng(0)
+    fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 4)], lanes, sr,
+                      block_size=block)
+
+    def push_all(release):
+        for lane in range(lanes):
+            f = float(np.float32(220.0 * 2 ** (rng.integers(0, 13) / 12.0)))
+            nid = fleet.push_event(lane, 0, {"freq": f, "note_on": True})
+            if release:
+                fleet.push_event(lane, 0, {"freq": f, "note_on": False},
+                                 note_id=nid)
+
+    push_all(False)
+    fleet.render_block()  # compile
+    times = []
+    for _ in range(8):
+        push_all(True)
+        t0 = time.time()
+        fleet.render_block()  # np.asarray inside forces the full fetch
+        times.append(time.time() - t0)
+    bt = float(np.median(times))
+    sessions = lanes * (block / sr) / bt
+    emit("live_fleet_sessions_per_chip", round(sessions, 1),
+         "realtime_sessions", round(sessions, 1))
+
+
 def bench_fidelity(seconds, chunk):
     import numpy as np
 
@@ -153,13 +242,18 @@ def main():
 
     seconds = float(os.environ.get("ZANG_BENCH_SECONDS", sm.NUM_SECONDS))
     chunk = int(os.environ.get("ZANG_BENCH_CHUNK", 65536))
-    which = os.environ.get("ZANG_BENCH_METRICS", "sampler,poly,fidelity,song")
+    which = os.environ.get(
+        "ZANG_BENCH_METRICS", "sampler,poly,serve,fleet,fidelity,song")
     which = {w.strip() for w in which.split(",") if w.strip()}
 
     if "sampler" in which:
         bench_sampler(chunk)
     if "poly" in which:
         bench_poly(chunk)
+    if "serve" in which:
+        bench_serve(chunk)
+    if "fleet" in which:
+        bench_fleet()
     if "fidelity" in which:
         bench_fidelity(seconds, chunk)
     if "song" in which:  # headline — keep last so it's the final JSON line

@@ -385,6 +385,7 @@ class BatchRenderer:
         segment_chunks: int = 16,
         slot_minimum: int = 4,
         max_attempts: int = 3,
+        workers_per_device: int = 4,
     ) -> None:
         self.out_dir = out_dir
         self.devices = list(devices) if devices is not None else None
@@ -392,6 +393,10 @@ class BatchRenderer:
         self.segment_chunks = segment_chunks
         self.slot_minimum = slot_minimum
         self.max_attempts = max_attempts
+        # >1 worker thread per device overlaps one job's host prep (plan
+        # compilation, ~0.3 s/song) with another's device renders — at
+        # >1000x render RTF the host side is the aggregate bottleneck
+        self.workers_per_device = max(1, workers_per_device)
         self.cache = SharedGraphCache()
 
     def run(self, jobs: Sequence[RenderJob]) -> List[JobResult]:
@@ -442,6 +447,7 @@ class BatchRenderer:
         threads = [
             threading.Thread(target=worker, args=(d,), daemon=True)
             for d in devices
+            for _ in range(self.workers_per_device)
         ]
         for t in threads:
             t.start()

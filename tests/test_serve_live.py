@@ -128,6 +128,49 @@ class TestFleetSharded:
                       block_size=BLOCK, mesh=mesh)
 
 
+class TestFleetElastic:
+    def test_attach_grows_and_keeps_existing_audio(self):
+        """A lane attaching mid-stream must not disturb lanes already
+        playing: lane 0's audio is bit-equal to an undisturbed session."""
+        make = lambda: [(ti.NiceInstrument(0.3), 3)]
+        fleet = LiveFleet(make, 2, SR, block_size=BLOCK)
+        single = LiveSession(make(), SR, BLOCK)
+        bb = _events(3)
+        out0, ref0 = [], []
+        for blk in range(6):
+            _drive(fleet.push_event, bb, blk, lane=0)
+            _drive(single.push_event, bb, blk)
+            if blk == 2:  # grow: 2 -> 4 slots, attach one
+                lane = fleet.attach_lane()
+                assert lane == 2 and fleet.num_lanes == 4
+                fleet.push_event(lane, 0, {"freq": 330.0, "note_on": True})
+            out0.append(fleet.render_block()[0])
+            ref0.append(single.render_block())
+        a = np.concatenate(out0, axis=1)
+        b = np.concatenate(ref0, axis=1)
+        assert np.abs(a - b).max() < 1e-6
+        assert sorted(fleet.active_lanes) == [0, 1, 2]
+
+    def test_detach_frees_slot_and_silences(self):
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
+                          block_size=BLOCK)
+        fleet.push_event(1, 0, {"freq": 440.0, "note_on": True})
+        fleet.render_block()
+        fleet.detach_lane(1)
+        out = fleet.render_block()
+        assert np.abs(out[1]).max() < 1e-6  # fresh slot: silence
+        with pytest.raises(ValueError, match="detached"):
+            fleet.push_event(1, 0, {"freq": 440.0, "note_on": True})
+        with pytest.raises(ValueError, match="already detached"):
+            fleet.detach_lane(1)
+        # attach reuses the freed slot without growing
+        assert fleet.attach_lane() == 1
+        assert fleet.num_lanes == 2
+        fleet.push_event(1, 0, {"freq": 440.0, "note_on": True})
+        out = fleet.render_block()
+        assert np.abs(out[1]).max() > 1e-4
+
+
 class TestFleetOps:
     def test_lane_reset_isolated(self):
         fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,

@@ -79,6 +79,7 @@ class LiveFleet:
         self._states = None  # per-part states, leaves stacked [L, ...]
         self._post_state = None  # stacked [L, ...]
         self._pending_reset: List[int] = []
+        self._free: set = set()  # detached lane slots, reusable by attach
         self._lock = threading.Lock()
 
     # -- lane management ---------------------------------------------------
@@ -86,6 +87,10 @@ class LiveFleet:
     @property
     def num_lanes(self) -> int:
         return len(self.lanes)
+
+    @property
+    def active_lanes(self) -> List[int]:
+        return [i for i in range(len(self.lanes)) if i not in self._free]
 
     def _new_session(self) -> LiveSession:
         return LiveSession(self._make_parts(), self._sample_rate,
@@ -99,16 +104,72 @@ class LiveFleet:
             self.lanes[lane] = self._new_session()
             self._pending_reset.append(lane)
 
+    # -- elastic attach/detach ---------------------------------------------
+
+    def attach_lane(self) -> int:
+        """Admit a new session to a running fleet; returns its lane id.
+
+        Reuses a detached slot when one is free; otherwise the fleet GROWS
+        (doubling, in mesh-size multiples when sharded). Growth re-stacks
+        device state and the next block pays one re-trace of the step for
+        the new lane count — existing lanes render through it unaffected."""
+        with self._lock:
+            if self._free:
+                return self._free.pop()
+        grow_by = max(1, len(self.lanes))
+        if self._mesh is not None:
+            n_dev = int(self._mesh.devices.size)
+            grow_by = -(-grow_by // n_dev) * n_dev
+        first_new = len(self.lanes)
+        new_sessions = [self._new_session() for _ in range(grow_by)]
+        with self._lock:
+            self.lanes.extend(new_sessions)
+            self._sync_capacity()
+            if self._states is not None:
+                per_lane = []
+                for s in new_sessions:
+                    s._ensure_states()
+                    per_lane.append(([p.dev_state for p in s.parts],
+                                     s.post_state))
+                states, posts = zip(*per_lane)
+                tail = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                              *states)
+                post_tail = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                                   *posts)
+                self._states = self._lane_shard(jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), self._states, tail))
+                self._post_state = self._lane_shard(jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]),
+                    self._post_state, post_tail))
+            self._free.update(range(first_new + 1, first_new + grow_by))
+        return first_new
+
+    def detach_lane(self, lane: int) -> None:
+        """Remove a session from the fleet; the slot renders silence and is
+        reused by the next attach_lane. The fleet never shrinks (shrinking
+        would re-trace for no throughput gain)."""
+        if lane in self._free:
+            raise ValueError(f"lane {lane} is already detached")
+        self.reset_lane(lane)
+        with self._lock:
+            self._free.add(lane)
+
+    def _check_attached(self, lane: int) -> None:
+        if lane in self._free:
+            raise ValueError(f"lane {lane} is detached — attach_lane() first")
+
     # -- event input (delegates) ------------------------------------------
 
     def push_event(self, lane: int, part: int, params: dict,
                    note_id: Optional[int] = None,
                    impulse_frame: int = 0) -> int:
+        self._check_attached(lane)
         return self.lanes[lane].push_event(part, params, note_id,
                                            impulse_frame)
 
     def key_event(self, lane: int, part: int, key: str, down: bool,
                   **kw) -> Optional[int]:
+        self._check_attached(lane)
         return self.lanes[lane].key_event(part, key, down, **kw)
 
     # -- block rendering ---------------------------------------------------

@@ -171,6 +171,31 @@ class TestFleetElastic:
         assert np.abs(out[1]).max() > 1e-4
 
 
+class TestFleetWarmup:
+    def test_warmup_then_render_matches(self):
+        """warmup() (incl. a future growth size) must not perturb real
+        rendering: output equals an un-warmed fleet's."""
+        make = lambda: [(ti.NiceInstrument(0.3), 2)]
+        warm = LiveFleet(make, 2, SR, block_size=BLOCK, prewarm=True)
+        warm.warmup([2, 4])
+        plain = LiveFleet(make, 2, SR, block_size=BLOCK)
+        bb = _events(5)
+        outs_w, outs_p = [], []
+        for blk in range(4):
+            _drive(warm.push_event, bb, blk, lane=0)
+            _drive(plain.push_event, bb, blk, lane=0)
+            outs_w.append(warm.render_block())
+            outs_p.append(plain.render_block())
+        a = np.concatenate(outs_w, axis=2)
+        b = np.concatenate(outs_p, axis=2)
+        assert np.abs(a - b).max() < 1e-6
+        lane = warm.attach_lane()  # growth size 4 was prewarmed
+        warm.push_event(lane, 0, {"freq": 330.0, "note_on": True})
+        out = warm.render_block()
+        assert out.shape[0] == 4 and np.abs(out[lane]).max() > 1e-4
+        warm.close(timeout=120)
+
+
 class TestFleetOps:
     def test_lane_reset_isolated(self):
         fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,

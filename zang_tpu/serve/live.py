@@ -26,6 +26,12 @@ Multi-chip: pass a 1-axis `mesh` and the lane axis shards over it — lanes
 are independent, so GSPMD partitions the step with zero collectives and
 ONE dispatch drives every chip (num_lanes must be a multiple of the mesh
 size).
+
+Elasticity: attach_lane()/detach_lane() admit and remove sessions from a
+running fleet; growth doubles the slot count with one re-trace. With
+prewarm=True the next growth size compiles in a background thread, so an
+attach's first block hits the jit cache (~44 ms) instead of compiling on
+the serving path (~3 s measured on the remote chip).
 """
 
 import threading
@@ -55,6 +61,7 @@ class LiveFleet:
         sample_rate: float,
         mesh: Optional[Mesh] = None,
         mesh_axis: str = "lanes",
+        prewarm: bool = False,
         **session_kwargs,
     ) -> None:
         if num_lanes < 1:
@@ -81,6 +88,8 @@ class LiveFleet:
         self._pending_reset: List[int] = []
         self._free: set = set()  # detached lane slots, reusable by attach
         self._lock = threading.Lock()
+        self._prewarm = bool(prewarm)
+        self._warm_thread: Optional[threading.Thread] = None
 
     # -- lane management ---------------------------------------------------
 
@@ -142,6 +151,8 @@ class LiveFleet:
                     lambda a, b: jnp.concatenate([a, b]),
                     self._post_state, post_tail))
             self._free.update(range(first_new + 1, first_new + grow_by))
+        if self._prewarm:
+            self._prewarm_async(2 * len(self.lanes))
         return first_new
 
     def detach_lane(self, lane: int) -> None:
@@ -157,6 +168,68 @@ class LiveFleet:
     def _check_attached(self, lane: int) -> None:
         if lane in self._free:
             raise ValueError(f"lane {lane} is detached — attach_lane() first")
+
+    # -- warmup (compile ahead of need) ------------------------------------
+
+    def _dummy_inputs(self, lane_count: int):
+        """[lane_count]-shaped step inputs from a throwaway fresh session —
+        shapes depend only on the shared instrument spec + slot capacity,
+        so compiling with these warms the jit cache for real blocks."""
+        s = self._new_session()
+        s.slot_capacity = self.lanes[0].slot_capacity
+        f0, f1 = s._host_block()
+        window = s._window_progs(f0, f1)
+        s._ensure_states()
+        rep = lambda x: jnp.broadcast_to(
+            jnp.asarray(x)[None], (lane_count,) + jnp.shape(jnp.asarray(x)))
+        states = jax.tree_util.tree_map(
+            rep, [p.dev_state for p in s.parts])
+        post = jax.tree_util.tree_map(rep, s.post_state)
+        packed = np.repeat(self._pack([(f0, f1)], [window]), lane_count,
+                           axis=0)
+        return (self._lane_shard(states), self._lane_shard(post),
+                self._lane_shard(jnp.asarray(packed)))
+
+    def warmup(self, lane_counts: Optional[Sequence[int]] = None) -> None:
+        """Compile the block step for the given lane counts (default: the
+        current count) before any real block needs it. Blocks until done."""
+        counts = list(lane_counts) if lane_counts is not None \
+            else [self.num_lanes]
+        if self._step is None or \
+                self._step_capacity != self.lanes[0].slot_capacity:
+            s = self._new_session()
+            s.slot_capacity = self.lanes[0].slot_capacity
+            f0, f1 = s._host_block()
+            self._build_step(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *[s._window_progs(f0, f1)]))
+        for count in counts:
+            states, post, packed = self._dummy_inputs(count)
+            out = self._step(states, post, packed)
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+
+    def _prewarm_async(self, lane_count: int) -> None:
+        """Warm the NEXT growth size in the background so a future
+        attach_lane's re-trace hits the jit cache instead of compiling
+        on the serving path."""
+        if self._warm_thread is not None and self._warm_thread.is_alive():
+            return
+
+        def work():
+            try:
+                self.warmup([lane_count])
+            except Exception:  # noqa: BLE001 — warmup is advisory only
+                pass
+
+        self._warm_thread = threading.Thread(target=work, daemon=True)
+        self._warm_thread.start()
+
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Join any in-flight background warmup. Call before process exit
+        in short-lived scripts — tearing down the runtime while a daemon
+        warmup thread is inside a device call aborts noisily (long-lived
+        servers never hit this)."""
+        if self._warm_thread is not None:
+            self._warm_thread.join(timeout=timeout)
 
     # -- event input (delegates) ------------------------------------------
 
@@ -308,6 +381,8 @@ class LiveFleet:
         if self._step is None or self._step_capacity != cap:
             self._build_step(jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *windows))
+            if self._prewarm:
+                self._prewarm_async(2 * self.num_lanes)
         packed = self._lane_shard(jnp.asarray(self._pack(spans, windows)))
         self._states, self._post_state, out = self._step(
             self._states, self._post_state, packed)

@@ -171,6 +171,58 @@ class TestFleetElastic:
         assert np.abs(out[1]).max() > 1e-4
 
 
+class TestFleetPipelined:
+    def test_async_double_buffer_bit_equal(self):
+        """render_block_async with two blocks in flight (dispatch N+1
+        before fetching N — the RTT-hiding serving mode) must produce the
+        same audio, block for block, as synchronous render_block."""
+        make = lambda: [(ti.NiceInstrument(0.3), 3)]
+        piped = LiveFleet(make, 2, SR, block_size=BLOCK)
+        plain = LiveFleet(make, 2, SR, block_size=BLOCK)
+        streams = [_events(21), _events(22)]
+        n_blocks = 8
+        pending, outs_a, outs_s = [], [], []
+        for blk in range(n_blocks):
+            for lane, bb in enumerate(streams):
+                _drive(piped.push_event, bb, blk, lane=lane)
+                _drive(plain.push_event, bb, blk, lane=lane)
+            pending.append(piped.render_block_async())
+            if len(pending) > 2:
+                outs_a.append(np.asarray(pending.pop(0)))
+            outs_s.append(plain.render_block())
+        outs_a.extend(np.asarray(p) for p in pending)
+        a = np.concatenate(outs_a, axis=2)
+        b = np.concatenate(outs_s, axis=2)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)  # same jitted step, same inputs
+        assert np.abs(a).max() > 0.01
+
+
+class TestFleetPcm16:
+    def test_device_mixdown_matches_host(self):
+        """pcm16_volume fleets must return exactly the host-side
+        mixdown_s16 of the f32 fleet's output (mixdown.zig clamp/NaN
+        semantics, computed on device)."""
+        from zang_tpu.core.mixdown import mixdown_s16_np
+
+        make = lambda: [(ti.NiceInstrument(0.3), 3)]
+        pcm = LiveFleet(make, 2, SR, block_size=BLOCK, pcm16_volume=0.5)
+        f32 = LiveFleet(make, 2, SR, block_size=BLOCK)
+        streams = [_events(31), _events(32)]
+        outs_p, outs_f = [], []
+        for blk in range(6):
+            for lane, bb in enumerate(streams):
+                _drive(pcm.push_event, bb, blk, lane=lane)
+                _drive(f32.push_event, bb, blk, lane=lane)
+            outs_p.append(pcm.render_block())
+            outs_f.append(f32.render_block())
+        a = np.concatenate(outs_p, axis=2)
+        ref = mixdown_s16_np(np.concatenate(outs_f, axis=2), 0.5)
+        assert a.dtype == np.int16
+        assert np.array_equal(a, ref)
+        assert np.abs(a).max() > 100
+
+
 class TestFleetWarmup:
     def test_warmup_then_render_matches(self):
         """warmup() (incl. a future growth size) must not perturb real

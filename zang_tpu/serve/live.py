@@ -27,6 +27,11 @@ are independent, so GSPMD partitions the step with zero collectives and
 ONE dispatch drives every chip (num_lanes must be a multiple of the mesh
 size).
 
+Double-buffering: render_block_async() dispatches a block and returns the
+device array without downloading it — the carried state stays on device, so
+a server can dispatch block N+1 before fetching block N and hide the tunnel
+round-trip behind compute (one extra block of output latency).
+
 Elasticity: attach_lane()/detach_lane() admit and remove sessions from a
 running fleet; growth doubles the slot count with one re-trace. With
 prewarm=True the next growth size compiles in a background thread, so an
@@ -52,6 +57,12 @@ class LiveFleet:
     make_parts: () -> [(instrument, polyphony)] — called once per lane;
     session_kwargs pass through to each LiveSession (block_size,
     num_channels, post_fn/post_init_state factories, slot caps...).
+
+    pcm16_volume: when set, the step mixes down to i16 PCM ON DEVICE
+    (core.mixdown semantics, mixdown.zig:8-24 clamp/NaN rules) at that
+    volume and render_block returns int16 — halving the per-block download
+    on the RTT-bound serving path, exactly what a PCM-streaming server
+    ships anyway (serve/batch.py does the same for WAV delivery).
     """
 
     def __init__(
@@ -62,6 +73,7 @@ class LiveFleet:
         mesh: Optional[Mesh] = None,
         mesh_axis: str = "lanes",
         prewarm: bool = False,
+        pcm16_volume: Optional[float] = None,
         **session_kwargs,
     ) -> None:
         if num_lanes < 1:
@@ -89,6 +101,8 @@ class LiveFleet:
         self._free: set = set()  # detached lane slots, reusable by attach
         self._lock = threading.Lock()
         self._prewarm = bool(prewarm)
+        self._pcm16_volume = (
+            None if pcm16_volume is None else float(pcm16_volume))
         self._warm_thread: Optional[threading.Thread] = None
 
     # -- lane management ---------------------------------------------------
@@ -365,16 +379,27 @@ class LiveFleet:
                     seg, jnp.dtype(dtypes[i]))
                 body_leaves.append(seg.reshape(shapes[i]))
             progs = jax.tree_util.tree_unflatten(treedef, body_leaves)
-            return body(states, post_state, t_idx, progs)
+            new_states, new_post, out = body(states, post_state, t_idx, progs)
+            if self._pcm16_volume is not None:
+                from ..core.mixdown import mixdown_s16
+
+                out = mixdown_s16(out, self._pcm16_volume)
+            return new_states, new_post, out
 
         self._pack = pack
         self._step = jax.jit(jax.vmap(lane_step))
         self._step_capacity = self.lanes[0].slot_capacity
 
-    def render_block(self) -> np.ndarray:
-        """Render every lane's next block in ONE device call.
+    def render_block_async(self) -> jax.Array:
+        """Dispatch every lane's next block in ONE device call and return
+        the audio as a device array WITHOUT fetching it.
 
-        Returns f32 [num_lanes, num_channels, block_size]."""
+        The next block's only device-side dependency is the carried state,
+        which stays on device — so a server can dispatch block N+1 before
+        downloading block N's audio and hide the tunnel round-trip behind
+        compute (double-buffering: one extra block of output latency, which
+        is the standard audio-callback tradeoff). Convert with np.asarray
+        when the audio is needed; render_block() does exactly that."""
         spans, windows = self._collect_windows()
         self._init_states()
         cap = self.lanes[0].slot_capacity
@@ -388,7 +413,14 @@ class LiveFleet:
             self._states, self._post_state, packed)
         for s, (_f0, f1) in zip(self.lanes, spans):
             s.frame = f1
-        return np.asarray(out)
+        return out
+
+    def render_block(self) -> np.ndarray:
+        """Render every lane's next block in ONE device call.
+
+        Returns [num_lanes, num_channels, block_size] — f32 mix, or i16
+        PCM when pcm16_volume is set."""
+        return np.asarray(self.render_block_async())
 
     def render_blocks(self, count: int) -> np.ndarray:
         """[num_lanes, num_channels, count*block_size]."""

@@ -195,7 +195,9 @@ def bench_fleet():
         t0 = time.time()
         fleet.render_block()  # np.asarray inside forces the full fetch
         times.append(time.time() - t0)
-    bt = float(np.median(times))
+    # best-of, like _steady_rtf: remote-tunnel jitter (per-call RTT swings
+    # of 1.5-2x run to run) is not part of the chip's steady-state capacity
+    bt = float(np.min(times))
     sessions = lanes * (block / sr) / bt
     emit("live_fleet_sessions_per_chip", round(sessions, 1),
          "realtime_sessions", round(sessions, 1))

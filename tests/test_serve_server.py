@@ -1,0 +1,146 @@
+"""TCP live server (serve/server.py): clients drive fleet lanes over a
+socket and get their own lane's PCM back. Non-realtime mode so the tests
+pace the stream by reading."""
+
+import numpy as np
+import pytest
+
+from zang_tpu.host import instruments as ti
+from zang_tpu.serve.server import LiveClient, LiveServer
+
+SR = 48000.0
+BLOCK = 1024
+
+
+def make_server(**kw):
+    kw.setdefault("initial_lanes", 2)
+    kw.setdefault("realtime", False)
+    kw.setdefault("block_size", BLOCK)
+    return LiveServer(lambda: [(ti.NiceInstrument(0.3), 2)], SR,
+                      port=0, **kw)
+
+
+class TestProtocol:
+    def test_welcome_and_audio_flow(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                assert c.welcome["sample_rate"] == SR
+                assert c.welcome["block_size"] == BLOCK
+                assert c.welcome["dtype"] == "int16"
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                # the event lands at the next block boundary; within a few
+                # blocks the note must be audible
+                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
+                assert max(peaks) > 100, peaks
+            finally:
+                c.close()
+
+    def test_two_clients_isolated_lanes(self):
+        """Each client hears only its own lane: client A plays, client B
+        stays silent."""
+        with make_server() as srv:
+            a = LiveClient(srv.host, srv.port)
+            b = LiveClient(srv.host, srv.port)
+            try:
+                assert a.welcome["lane"] != b.welcome["lane"]
+                a.send_event(0, {"freq": 330.0, "note_on": True})
+                peaks_a, peaks_b = [], []
+                for _ in range(4):
+                    peaks_a.append(np.abs(a.read_block()).max())
+                    peaks_b.append(np.abs(b.read_block()).max())
+                assert max(peaks_a) > 100, peaks_a
+                assert max(peaks_b) == 0, peaks_b
+            finally:
+                a.close()
+                b.close()
+
+    def test_f32_stream_matches_direct_fleet_block(self):
+        """An f32 server (pcm16_volume=None) streams finite float blocks."""
+        with make_server(pcm16_volume=None) as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                assert c.welcome["dtype"] == "float32"
+                c.send_event(0, {"freq": 220.0, "note_on": True})
+                blocks = [c.read_block() for _ in range(3)]
+                cat = np.concatenate(blocks, axis=1)
+                assert cat.dtype == np.float32
+                assert np.isfinite(cat).all()
+                assert np.abs(cat).max() > 1e-4
+            finally:
+                c.close()
+
+    def test_key_events_play_notes(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_key(0, "q", True)
+                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
+                assert max(peaks) > 100, peaks
+            finally:
+                c.close()
+
+    def test_unknown_op_gets_error(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            import json
+
+            c.sock.sendall(json.dumps({"op": "nonsense"}).encode() + b"\n")
+            with pytest.raises((RuntimeError, EOFError)):
+                for _ in range(50):  # queued block frames may arrive first
+                    c.read_block()
+            c.sock.close()
+
+
+class TestLifecycle:
+    def test_disconnect_frees_lane_for_next_client(self):
+        with make_server(initial_lanes=1, max_lanes=1) as srv:
+            a = LiveClient(srv.host, srv.port)
+            lane_a = a.welcome["lane"]
+            a.read_block()
+            a.close()
+            # server notices the goodbye and detaches; the next client
+            # reuses the slot
+            deadline = 50
+            while srv.num_clients and deadline:
+                import time
+
+                time.sleep(0.1)
+                deadline -= 1
+            assert srv.num_clients == 0
+            b = LiveClient(srv.host, srv.port)
+            try:
+                assert b.welcome["lane"] == lane_a
+                b.read_block()
+            finally:
+                b.close()
+
+    def test_server_full_refused(self):
+        with make_server(initial_lanes=1, max_lanes=1) as srv:
+            a = LiveClient(srv.host, srv.port)
+            try:
+                with pytest.raises(RuntimeError, match="full"):
+                    LiveClient(srv.host, srv.port)
+                # the first client keeps streaming fine
+                a.send_event(0, {"freq": 440.0, "note_on": True})
+                peaks = [np.abs(a.read_block()).max() for _ in range(4)]
+                assert max(peaks) > 100
+            finally:
+                a.close()
+
+    def test_growth_beyond_initial_lanes(self):
+        """A third client on a 2-lane fleet grows it (one re-trace) without
+        disturbing connected clients."""
+        with make_server(initial_lanes=2, max_lanes=8) as srv:
+            clients = [LiveClient(srv.host, srv.port) for _ in range(3)]
+            try:
+                lanes = {c.welcome["lane"] for c in clients}
+                assert len(lanes) == 3
+                clients[2].send_event(0, {"freq": 550.0, "note_on": True})
+                for c in clients:
+                    peaks = [np.abs(c.read_block()).max() for _ in range(4)]
+                    if c is clients[2]:
+                        assert max(peaks) > 100
+            finally:
+                for c in clients:
+                    c.close()

@@ -45,6 +45,8 @@ _LAZY = {
     "BatchRenderer": ("zang_tpu.serve.batch", "BatchRenderer"),
     "RenderJob": ("zang_tpu.serve.batch", "RenderJob"),
     "LiveFleet": ("zang_tpu.serve.live", "LiveFleet"),
+    "LiveServer": ("zang_tpu.serve.server", "LiveServer"),
+    "LiveClient": ("zang_tpu.serve.server", "LiveClient"),
 }
 
 

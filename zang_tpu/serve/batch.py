@@ -385,7 +385,7 @@ class BatchRenderer:
         segment_chunks: int = 16,
         slot_minimum: int = 4,
         max_attempts: int = 3,
-        workers_per_device: int = 4,
+        workers_per_device: Optional[int] = None,
     ) -> None:
         self.out_dir = out_dir
         self.devices = list(devices) if devices is not None else None
@@ -395,7 +395,13 @@ class BatchRenderer:
         self.max_attempts = max_attempts
         # >1 worker thread per device overlaps one job's host prep (plan
         # compilation, ~0.3 s/song) with another's device renders — at
-        # >1000x render RTF the host side is the aggregate bottleneck
+        # >1000x render RTF the host side is the aggregate bottleneck.
+        # But the prep is pure-Python/numpy (GIL-bound): workers beyond the
+        # host core count only add contention (measured on a 1-core box:
+        # 4 workers 82x aggregate vs 2 workers 111x), so the default
+        # scales with the host.
+        if workers_per_device is None:
+            workers_per_device = min(4, (os.cpu_count() or 1) + 1)
         self.workers_per_device = max(1, workers_per_device)
         self.cache = SharedGraphCache()
 

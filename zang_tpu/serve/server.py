@@ -1,0 +1,381 @@
+"""Network-facing live serving: TCP clients drive fleet lanes, PCM streams back.
+
+The production deployment of the live tier. The reference's interactive
+host is a single-process SDL loop (examples/example.zig:35-83: key events
+in, audio-callback out); its network surface is a one-way UDP reload
+trigger (watch_script.sh). This server is the TPU-native scale-out of that
+loop: one `LiveFleet` (serve/live.py) renders every connected client's
+session in a single vmapped device step per block, and each client
+receives its own lane's audio as a PCM stream over the same TCP
+connection that carries its events.
+
+Wire protocol (deliberately minimal — newline-delimited JSON control
+frames; binary audio payloads):
+
+  client -> server (one JSON object per line):
+    {"op": "hello"}                     optional handshake request
+    {"op": "event", "part": P, "params": {...},
+     "note_id": N?, "impulse_frame": F?}   push_event into this lane
+    {"op": "key", "part": P, "key": "a", "down": true, ...}
+                                        two-row keyboard map (host/keyboard)
+    {"op": "bye"}                       orderly detach
+
+  server -> client:
+    {"op": "welcome", "lane": L, "sample_rate": SR, "block_size": B,
+     "num_channels": C, "dtype": "int16"|"float32"}\n
+    {"op": "block", "seq": K, "frame": F, "nbytes": NB}\n  + NB raw bytes
+        one [C, B] audio block, C-major, little-endian
+    {"op": "error", "message": ...}\n   then the connection closes
+
+Events are fire-and-forget (MIDI discipline): clients that need to
+release a note supply their own note_id. Audio is pushed at the fleet's
+block cadence; a client that stops reading gets disconnected when its
+socket buffer fills and send blocks past send_timeout (a stalled consumer
+must not stall the fleet).
+
+The render loop runs in one thread; client reader threads only push
+events (LiveSession serializes pushes vs rendering internally) — fleet
+attach/detach/render are serialized by the server's lock.
+"""
+
+import json
+import socket
+import socketserver
+import threading
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .live import LiveFleet
+
+
+class _ClientError(Exception):
+    pass
+
+
+class LiveServer:
+    """TCP front-end over a LiveFleet: one lane per connected client.
+
+    make_parts/sample_rate/fleet_kwargs go to the LiveFleet (pcm16_volume
+    defaults to 0.5 — network clients want i16 PCM; pass
+    pcm16_volume=None to stream f32). initial_lanes pre-sizes the fleet
+    (connections beyond it grow the fleet, one re-trace per doubling —
+    prewarm=True compiles the next size in the background); max_lanes
+    refuses connections beyond a hard cap. realtime=True paces blocks to
+    the sample clock; False renders as fast as the device allows (tests,
+    faster-than-realtime piping).
+    """
+
+    def __init__(
+        self,
+        make_parts: Callable[[], Sequence],
+        sample_rate: float,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        initial_lanes: int = 4,
+        max_lanes: int = 256,
+        realtime: bool = True,
+        send_timeout: float = 2.0,
+        pcm16_volume: Optional[float] = 0.5,
+        **fleet_kwargs,
+    ) -> None:
+        self.fleet = LiveFleet(
+            make_parts, initial_lanes, sample_rate,
+            pcm16_volume=pcm16_volume, **fleet_kwargs)
+        self.max_lanes = int(max_lanes)
+        self.realtime = bool(realtime)
+        self.send_timeout = float(send_timeout)
+        self._dtype = "float32" if pcm16_volume is None else "int16"
+        self._lock = threading.Lock()  # fleet attach/detach/render
+        self._clients = {}  # lane -> (socket, per-socket send lock)
+        self._seq = 0
+        self._stop = threading.Event()
+        self._render_thread: Optional[threading.Thread] = None
+
+        srv = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # one thread per client (ThreadingTCPServer)
+                srv._serve_client(self.request)
+
+        self._tcp = socketserver.ThreadingTCPServer(
+            (host, port), _Handler, bind_and_activate=True)
+        self._tcp.daemon_threads = True
+        self.host, self.port = self._tcp.server_address[:2]
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        """Start accepting connections and rendering blocks."""
+        threading.Thread(
+            target=self._tcp.serve_forever, daemon=True).start()
+        self._render_thread = threading.Thread(
+            target=self._render_loop, daemon=True)
+        self._render_thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        if self._render_thread is not None:
+            self._render_thread.join(timeout=30.0)
+        with self._lock:
+            for sock, _slock in list(self._clients.values()):
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            self._clients.clear()
+        self.fleet.close(timeout=30.0)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def num_clients(self) -> int:
+        with self._lock:
+            return len(self._clients)
+
+    # -- per-client connection --------------------------------------------
+
+    def _attach(self, sock):
+        with self._lock:
+            if len(self._clients) >= self.max_lanes:
+                raise _ClientError(
+                    f"server full ({self.max_lanes} lanes)")
+            free = [l for l in self.fleet.active_lanes
+                    if l not in self._clients]
+            # active but unclaimed lanes exist only before first claims;
+            # otherwise reuse a detached slot / grow
+            if free:
+                lane = free[0]
+            else:
+                lane = self.fleet.attach_lane()
+            send_lock = threading.Lock()
+            self._clients[lane] = (sock, send_lock)
+            return lane, send_lock
+
+    def _detach(self, lane: int) -> None:
+        with self._lock:
+            if self._clients.pop(lane, None) is None:
+                return
+            self.fleet.detach_lane(lane)
+
+    def _serve_client(self, sock) -> None:
+        sess = self.fleet.lanes[0]  # spec donor for the welcome frame
+        sock.settimeout(self.send_timeout)
+        lane = None
+        try:
+            lane, send_lock = self._attach(sock)
+            with send_lock:
+                _send_json(sock, {
+                    "op": "welcome", "lane": lane,
+                    "sample_rate": self.fleet._sample_rate,
+                    "block_size": sess.block_size,
+                    "num_channels": sess.num_channels,
+                    "dtype": self._dtype,
+                })
+            buf = b""
+            while not self._stop.is_set():
+                try:
+                    chunk = sock.recv(65536)
+                except socket.timeout:
+                    continue
+                if not chunk:
+                    return  # disconnect
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not line.strip():
+                        continue
+                    if self._dispatch(lane, json.loads(line)):
+                        return  # bye
+        except _ClientError as e:
+            self._send_error(sock, lane, str(e))
+        except (OSError, ValueError, KeyError) as e:
+            # malformed frame or dead socket: drop the client, keep serving
+            self._send_error(sock, lane, repr(e))
+        finally:
+            if lane is not None:
+                self._detach(lane)
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _send_error(self, sock, lane, message: str) -> None:
+        """Best-effort error frame, serialized against block sends when the
+        lane is attached (no interleaving mid-payload)."""
+        with self._lock:
+            entry = self._clients.get(lane) if lane is not None else None
+        send_lock = entry[1] if entry else threading.Lock()
+        try:
+            with send_lock:
+                _send_json(sock, {"op": "error", "message": message})
+        except OSError:
+            pass
+
+    def _dispatch(self, lane: int, msg: dict) -> bool:
+        """Apply one client frame; True = orderly goodbye."""
+        op = msg.get("op")
+        if op == "event":
+            self.fleet.push_event(
+                lane, int(msg.get("part", 0)), dict(msg["params"]),
+                note_id=msg.get("note_id"),
+                impulse_frame=int(msg.get("impulse_frame", 0)))
+        elif op == "key":
+            kw = {k: v for k, v in msg.items()
+                  if k not in ("op", "part", "key", "down")}
+            self.fleet.key_event(
+                lane, int(msg.get("part", 0)), msg["key"],
+                bool(msg["down"]), **kw)
+        elif op == "bye":
+            return True
+        elif op != "hello":  # hello is answered by the welcome frame
+            raise _ClientError(f"unknown op {op!r}")
+        return False
+
+    # -- render loop -------------------------------------------------------
+
+    def _render_loop(self) -> None:
+        sess = self.fleet.lanes[0]
+        block_dt = sess.block_size / self.fleet._sample_rate
+        next_deadline = time.monotonic()
+        while not self._stop.is_set():
+            with self._lock:
+                targets = dict(self._clients)
+            if not targets:
+                next_deadline = time.monotonic()
+                time.sleep(0.01)
+                continue
+            with self._lock:
+                audio = self.fleet.render_block()
+                frame = self.fleet.lanes[0].frame - sess.block_size
+            self._seq += 1
+            for lane, (sock, send_lock) in targets.items():
+                payload = np.ascontiguousarray(audio[lane]).tobytes()
+                try:
+                    with send_lock:
+                        _send_json(sock, {"op": "block", "seq": self._seq,
+                                          "frame": frame,
+                                          "nbytes": len(payload)})
+                        sock.sendall(payload)
+                except OSError:
+                    self._detach(lane)  # stalled/dead consumer
+            if self.realtime:
+                next_deadline += block_dt
+                delay = next_deadline - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                else:  # fell behind (e.g. growth re-trace): don't burst
+                    next_deadline = time.monotonic()
+
+
+def _send_json(sock, obj) -> None:
+    sock.sendall(json.dumps(obj).encode() + b"\n")
+
+
+# -- a minimal client, for tests and piping ---------------------------------
+
+
+class LiveClient:
+    """Blocking client for LiveServer's protocol (tests, CLI piping)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 300.0) -> None:
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        self.welcome = self._read_json()
+        if self.welcome.get("op") == "error":
+            raise RuntimeError(self.welcome["message"])
+        assert self.welcome["op"] == "welcome", self.welcome
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise EOFError("server closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_json(self) -> dict:
+        while b"\n" not in self._buf:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise EOFError("server closed")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\n", 1)
+        return json.loads(line)
+
+    def send_event(self, part: int, params: dict, note_id=None,
+                   impulse_frame: int = 0) -> None:
+        msg = {"op": "event", "part": part, "params": params,
+               "impulse_frame": impulse_frame}
+        if note_id is not None:
+            msg["note_id"] = note_id
+        _send_json(self.sock, msg)
+
+    def send_key(self, part: int, key: str, down: bool, **kw) -> None:
+        _send_json(self.sock, {"op": "key", "part": part, "key": key,
+                               "down": down, **kw})
+
+    def read_block(self) -> np.ndarray:
+        """Next audio block as [num_channels, block_size]."""
+        hdr = self._read_json()
+        if hdr.get("op") == "error":
+            raise RuntimeError(hdr["message"])
+        assert hdr["op"] == "block", hdr
+        raw = self._read_exact(hdr["nbytes"])
+        dtype = np.dtype(self.welcome["dtype"]).newbyteorder("<")
+        a = np.frombuffer(raw, dtype=dtype)
+        return a.reshape(self.welcome["num_channels"],
+                         self.welcome["block_size"])
+
+    def close(self) -> None:
+        try:
+            _send_json(self.sock, {"op": "bye"})
+        except OSError:
+            pass
+        self.sock.close()
+
+
+def _main():  # demo: serve NiceInstrument sessions on a TCP port
+    import argparse
+
+    from ..host import instruments as ti
+
+    ap = argparse.ArgumentParser(
+        description="Serve live synth sessions over TCP (PCM16 blocks out, "
+                    "JSON events in — see module docstring for the protocol)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9800)
+    ap.add_argument("--block-size", type=int, default=4096)
+    ap.add_argument("--sample-rate", type=float, default=48000.0)
+    ap.add_argument("--lanes", type=int, default=4,
+                    help="initial fleet size (grows on demand)")
+    ap.add_argument("--max-lanes", type=int, default=256)
+    ap.add_argument("--polyphony", type=int, default=4)
+    args = ap.parse_args()
+
+    srv = LiveServer(
+        lambda: [(ti.NiceInstrument(0.3), args.polyphony)],
+        args.sample_rate, host=args.host, port=args.port,
+        initial_lanes=args.lanes, max_lanes=args.max_lanes,
+        block_size=args.block_size, prewarm=True)
+    srv.start()
+    print(f"live server on {srv.host}:{srv.port} "
+          f"(block {args.block_size} @ {args.sample_rate:.0f} Hz)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.close()
+
+
+if __name__ == "__main__":
+    _main()

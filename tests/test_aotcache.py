@@ -1,0 +1,125 @@
+"""AOT executable disk cache (graph/aotcache.py).
+
+On the CPU test backend the cache is deliberately unusable
+(cache_usable() gates it off: XLA:CPU AOT reloads fail a strict
+machine-feature check, and the 8-virtual-device config binds reloaded
+executables to all devices) — so here we verify the gate itself, the
+fall-through correctness, and the key/tag machinery. The disk round trip
+is exercised on the real single-chip TPU backend (the marked test below,
+plus the cross-process bit-identical check recorded in CLAUDE.md)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from zang_tpu.core.notes import SongEvent
+from zang_tpu.core.timeline import compile_timelines
+from zang_tpu.graph import aotcache
+from zang_tpu.graph.render import Performance, render_performance
+from zang_tpu.host import instruments as ti
+
+SR = 48000.0
+
+on_cpu = jax.default_backend() == "cpu"
+
+
+def _perf(total):
+    song = [
+        SongEvent(t=0.01, params={"freq": 330.0, "note_on": True}, note_id=1),
+        SongEvent(t=0.30, params={"freq": 330.0, "note_on": False}, note_id=1),
+    ]
+    tls = compile_timelines(song, 2, SR, total)
+    return Performance([(ti.NiceInstrument(0.25), tls)], SR)
+
+
+class TestGateOnCpu:
+    def test_cache_gated_off_but_renders_identically(self, tmp_path):
+        """With ZANG_AOT_CACHE pointing at a directory, the CPU backend
+        must fall through to a plain compile (no cache files) and produce
+        exactly the uncached output."""
+        assert not aotcache.cache_usable()  # 8-device CPU suite config
+        total = 4096
+        a = render_performance(_perf(total), total, chunk_size=2048,
+                               aot_cache=str(tmp_path))
+        assert not [f for f in os.listdir(tmp_path) if f.startswith("aot_")]
+        b = render_performance(_perf(total), total, chunk_size=2048)
+        assert np.array_equal(a, b)
+
+    def test_live_and_fleet_paths_unaffected(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("ZANG_AOT_CACHE", str(tmp_path))
+        from zang_tpu.host.live import LiveSession
+        from zang_tpu.serve.live import LiveFleet
+
+        sess = LiveSession([(ti.NiceInstrument(0.3), 2)], SR, 512)
+        sess.push_event(0, {"freq": 440.0, "note_on": True})
+        a = np.concatenate([sess.render_block() for _ in range(2)], axis=1)
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
+                          block_size=512)
+        fleet.push_event(0, 0, {"freq": 440.0, "note_on": True})
+        b = fleet.render_block()
+        assert np.isfinite(a).all() and np.abs(a).max() > 1e-4
+        assert np.isfinite(b).all() and np.abs(b[0]).max() > 1e-4
+        monkeypatch.delenv("ZANG_AOT_CACHE")
+        sess2 = LiveSession([(ti.NiceInstrument(0.3), 2)], SR, 512)
+        sess2.push_event(0, {"freq": 440.0, "note_on": True})
+        a2 = np.concatenate([sess2.render_block() for _ in range(2)], axis=1)
+        assert np.array_equal(a, a2)
+
+
+class TestKeys:
+    def test_equal_configs_equal_tags(self):
+        assert (aotcache.stable_tag(ti.NiceInstrument(0.3))
+                == aotcache.stable_tag(ti.NiceInstrument(0.3)))
+
+    def test_config_changes_tag(self):
+        assert (aotcache.stable_tag(ti.NiceInstrument(0.3))
+                != aotcache.stable_tag(ti.NiceInstrument(0.4)))
+
+    def test_callable_bytecode_keys_tag(self):
+        def f1(p):
+            return p["freq"]
+
+        def f2(p):
+            return p["freq"] * 2.0
+
+        assert aotcache.stable_tag(f1) != aotcache.stable_tag(f2)
+        assert aotcache.stable_tag(f1) == aotcache.stable_tag(f1)
+
+    def test_env_knobs_key_performance_tag(self, monkeypatch):
+        p = _perf(2048)
+        t1 = aotcache.performance_tag(p, 1024)
+        monkeypatch.setenv("ZANG_SVF_TABLE", "0")
+        assert aotcache.performance_tag(p, 1024) != t1
+
+    def test_cache_key_depends_on_arg_shapes(self):
+        k1 = aotcache.cache_key("t", (np.zeros((4,), np.float32),))
+        k2 = aotcache.cache_key("t", (np.zeros((8,), np.float32),))
+        k3 = aotcache.cache_key("t", (np.zeros((4,), np.int32),))
+        assert len({k1, k2, k3}) == 3
+
+    def test_corrupt_entry_is_a_miss(self, tmp_path):
+        os.makedirs(tmp_path, exist_ok=True)
+        key = "deadbeef" * 4
+        with open(tmp_path / f"aot_{key}.pkl", "wb") as fh:
+            fh.write(b"not a pickle")
+        assert aotcache.load(str(tmp_path), key) is None
+
+
+@pytest.mark.skipif(on_cpu, reason="disk cache is TPU-only (cache_usable)")
+class TestAotOnDevice:
+    def test_miss_then_hit_bit_identical(self, tmp_path):
+        total = 4096
+        cache = str(tmp_path)
+        a = render_performance(_perf(total), total, chunk_size=2048,
+                               aot_cache=cache)
+        files = [f for f in os.listdir(cache) if f.startswith("aot_")]
+        assert len(files) == 1
+        b = render_performance(_perf(total), total, chunk_size=2048,
+                               aot_cache=cache)
+        assert [f for f in os.listdir(cache)
+                if f.startswith("aot_")] == files
+        assert np.array_equal(a, b)
+        c = render_performance(_perf(total), total, chunk_size=2048)
+        assert np.array_equal(a, c)

@@ -1,0 +1,222 @@
+"""Disk cache of compiled XLA executables: cold starts without the compile.
+
+The remote (axon) TPU backend has no working persistent compilation cache
+(the standard jax cache directory stays empty — server-side compiles are
+cached per-server at best), and fresh compiles of the full song graph have
+been measured anywhere from 19 s to 454 s. What DOES work through this
+backend is `jax.experimental.serialize_executable`: serializing the
+compiled executable (~5 MB for the full Bach graph), reloading it in a
+fresh process in ~0.1-0.6 s, and getting bit-identical output (verified —
+same checksum as the compiling process).
+
+Measured through the remote tunnel (8 s Bach slice, fresh processes):
+cold compile 223 s -> hit path: load 0.08 s + one first-call server-side
+warmup (13-86 s observed, opaque to the client) + 0.02 s/call after.
+Live/fleet block steps: 3.7 s cold -> 1.4 s warm-start. On a co-located
+TPU the first-call warmup largely disappears; through any transport the
+hit path removes all client-side tracing/lowering/compiling.
+
+`aot_compile(fn, args, tag)` is the primitive: lower+compile on miss and
+write the pickled (payload, in_tree, out_tree) under a key derived from
+the jax version, backend/device fingerprint, the caller's `tag`, and the
+abstract signature (pytree structure + shapes + dtypes) of `args`; on hit,
+deserialize and skip tracing, lowering, and compiling entirely. Any
+load/store failure falls back to a plain compile — the cache is strictly
+an accelerator, never a correctness dependency.
+
+Enable by passing cache_dir or setting ZANG_AOT_CACHE=<dir> (used by
+render_performance, the render_wav CLI, and serve.batch's shared graphs).
+The `tag` must capture everything that affects the traced computation and
+is NOT visible in the args' shapes/dtypes (instrument topology, chunking,
+env-gated kernel choices) — same discipline as serve.batch's instrument
+keys. When in doubt, include more.
+"""
+
+import hashlib
+import os
+import pickle
+from typing import Optional, Tuple
+
+import jax
+
+_ENV = "ZANG_AOT_CACHE"
+
+# env knobs that change the TRACED graph (kernel selection / interpret
+# modes) and therefore must key the disk cache. ZANG_LIVE_INC & friends
+# only steer host-side planning, not traces.
+_TRACE_KNOBS = (
+    "ZANG_PALLAS_SVF",
+    "ZANG_SVF_TABLE",
+    "ZANG_SVF_ONEPASS",
+    "ZANG_PALLAS_LOOKUP",
+    "ZANG_LOOKUP_INTERPRET",
+    "ZANG_PALLAS_INTERPRET",
+)
+
+
+def stable_tag(obj) -> str:
+    """A process-stable description of anything that shapes a traced graph
+    (instrument configs, callables, chunk policy...). Unlike
+    serve.batch._leaf_key, callables hash by (module, qualname, bytecode)
+    instead of id() — required for a key that lives on disk. Opaque
+    non-callable objects hash by repr of their public attrs."""
+
+    def walk(v):
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return ("s", v.dtype.str, v.item())
+        if isinstance(v, (bool, int, float, str, bytes, type(None))):
+            return ("s", type(v).__name__, v)
+        if isinstance(v, (np.ndarray, jax.Array)):
+            a = np.asarray(v)
+            return ("a", a.shape, str(a.dtype),
+                    hashlib.sha1(np.ascontiguousarray(a).tobytes())
+                    .hexdigest())
+        if isinstance(v, (list, tuple)):
+            return ("l", tuple(walk(x) for x in v))
+        if isinstance(v, dict):
+            return ("d", tuple(sorted((k, walk(x)) for k, x in v.items())))
+        if callable(v):
+            code = getattr(v, "__code__", None)
+            body = hashlib.sha1(code.co_code).hexdigest() if code else ""
+            return ("f", getattr(v, "__module__", ""),
+                    getattr(v, "__qualname__", type(v).__name__), body)
+        pub = tuple(sorted(
+            (k, walk(x)) for k, x in getattr(v, "__dict__", {}).items()
+            if not k.startswith("_")))
+        return ("o", type(v).__module__, type(v).__qualname__, pub)
+
+    return repr(walk(obj))
+
+
+def performance_tag(perf, chunk_size: int) -> str:
+    """Disk-stable tag for a Performance's traced render graph: instrument
+    identities (class + public config + callable bytecode), channel/sr/
+    chunk policy, and the kernel-selection env knobs. Timeline CONTENT is
+    deliberately absent — it flows through the executable's runtime args,
+    which is what lets different songs share one compile (the same
+    property serve.batch's shared graphs rely on)."""
+    parts = tuple(
+        (stable_tag(inst), len(tls)) for inst, tls in perf.parts)
+    knobs = tuple((k, os.environ.get(k, "")) for k in _TRACE_KNOBS)
+    return repr((parts, stable_tag(perf.post_fn),
+                 stable_tag(perf.post_init_state), perf.sample_rate,
+                 perf.num_channels, chunk_size, knobs))
+
+
+def default_cache_dir() -> Optional[str]:
+    d = os.environ.get(_ENV, "").strip()
+    return d or None
+
+
+def cache_usable() -> bool:
+    """The disk cache serves the single-accelerator serving/render paths.
+    XLA:CPU AOT reloads are rejected by a strict machine-feature check
+    (and the test suite's 8-virtual-device CPU config binds deserialized
+    executables to all 8 devices, breaking unsharded calls) — so CPU
+    always compiles. Multi-device topologies would need sharding-aware
+    reload commitment; out of scope until a real multi-chip pod exists."""
+    try:
+        return jax.default_backend() != "cpu" and len(jax.devices()) == 1
+    except Exception:  # noqa: BLE001 — backend init failure = no cache
+        return False
+
+
+def _device_fingerprint() -> str:
+    devs = jax.devices()
+    return f"{jax.default_backend()}:{devs[0].device_kind}x{len(devs)}"
+
+
+def _abstract_sig(args) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        x = jax.numpy.asarray(leaf)
+        parts.append(f"{x.dtype.str}{tuple(x.shape)}")
+    return "|".join(parts)
+
+
+def cache_key(tag: str, args) -> str:
+    raw = "\n".join([
+        jax.__version__,
+        _device_fingerprint(),
+        tag,
+        _abstract_sig(args),
+    ])
+    return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+
+def _path(cache_dir: str, key: str) -> str:
+    return os.path.join(cache_dir, f"aot_{key}.pkl")
+
+
+def load(cache_dir: str, key: str):
+    """Deserialized executable, or None (missing/stale/unloadable)."""
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    try:
+        with open(_path(cache_dir, key), "rb") as fh:
+            payload, in_tree, out_tree = pickle.load(fh)
+        return deserialize_and_load(payload, in_tree, out_tree)
+    except Exception:  # noqa: BLE001 — any failure means "treat as miss"
+        return None
+
+
+def store(cache_dir: str, key: str, compiled) -> bool:
+    from jax.experimental.serialize_executable import serialize
+
+    try:
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = _path(cache_dir, key) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, _path(cache_dir, key))  # atomic: safe under races
+        return True
+    except Exception:  # noqa: BLE001 — the cache must never break a render
+        return False
+
+
+class AotDispatch:
+    """Drop-in for jax.jit(fn) that consults the disk cache per argument
+    signature: the first call with a new signature loads (or compiles and
+    stores) an executable; later calls dispatch straight to it. Use where
+    a jitted function sees a few stable signatures (serving segment
+    graphs, live block steps)."""
+
+    def __init__(self, fn, tag: str, cache_dir: Optional[str] = None):
+        self._fn = fn
+        self._tag = tag
+        self._cache_dir = cache_dir or default_cache_dir()
+        self._mem = {}
+        self.last_status: Optional[str] = None
+
+    def __call__(self, *args):
+        sig = _abstract_sig(args)
+        compiled = self._mem.get(sig)
+        if compiled is None:
+            compiled, self.last_status = aot_compile(
+                self._fn, args, self._tag, self._cache_dir)
+            self._mem[sig] = compiled
+        return compiled(*args)
+
+
+def aot_compile(fn, args, tag: str,
+                cache_dir: Optional[str] = None) -> Tuple[object, str]:
+    """Compiled executable for fn at args' exact signature.
+
+    Returns (compiled, status) with status in {"hit", "miss", "off"}.
+    The executable is called with the same pytree args as fn. With no
+    cache_dir (and no ZANG_AOT_CACHE), compiles without touching disk.
+    """
+    cache_dir = cache_dir or default_cache_dir()
+    if cache_dir is None or not cache_usable():
+        return jax.jit(fn).lower(*args).compile(), "off"
+    key = cache_key(tag, args)
+    compiled = load(cache_dir, key)
+    if compiled is not None:
+        return compiled, "hit"
+    compiled = jax.jit(fn).lower(*args).compile()
+    store(cache_dir, key, compiled)
+    return compiled, "miss"

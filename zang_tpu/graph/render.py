@@ -192,9 +192,23 @@ def render_performance(
     total_frames: int,
     chunk_size: int = 65536,
     jit: bool = True,
+    aot_cache: Optional[str] = None,
 ) -> np.ndarray:
-    """Render the full piece; returns f32 [num_channels, total_frames]."""
+    """Render the full piece; returns f32 [num_channels, total_frames].
+
+    aot_cache (or ZANG_AOT_CACHE in the environment) names a directory of
+    serialized executables: a warm entry skips tracing+lowering+compiling
+    entirely (graph/aotcache.py — bit-identical output, verified)."""
     run, args = make_render_fn(perf, total_frames, chunk_size)
-    fn = jax.jit(run) if jit else run
+    fn = run
+    if jit:
+        from . import aotcache
+
+        cache_dir = aot_cache or aotcache.default_cache_dir()
+        if cache_dir:
+            tag = "render:" + aotcache.performance_tag(perf, chunk_size)
+            fn, _status = aotcache.aot_compile(run, args, tag, cache_dir)
+        else:
+            fn = jax.jit(run)
     audio = fn(*args)
     return np.asarray(audio[:, :total_frames])

@@ -251,6 +251,16 @@ class LiveSession:
         return self._window_slice(plan, f0, f1, self._horizon)
 
     def _make_step(self):
+        from ..graph import aotcache
+
+        if aotcache.default_cache_dir():
+            # ZANG_AOT_CACHE: a session restart (same instrument spec and
+            # slot capacity) loads the block step's executable from disk
+            # instead of compiling on the interactive path.
+            tag = "live:" + aotcache.stable_tag(
+                ([(p.instrument, p.polyphony) for p in self.parts],
+                 self.post_fn, self.num_channels, self.block_size))
+            return aotcache.AotDispatch(self._step_body(), tag)
         return jax.jit(self._step_body())
 
     def _step_body(self):

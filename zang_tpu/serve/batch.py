@@ -273,6 +273,15 @@ class SharedGraphCache:
                 audio = mixdown_s16(audio, vol)
             return state, audio
 
+        from ..graph import aotcache
+
+        if aotcache.default_cache_dir():
+            # ZANG_AOT_CACHE: persist compiled segment graphs, so a server
+            # restart (same instruments) skips the cold compile entirely.
+            # NOTE: cache hits skip tracing, so `traces` stays 0 for them.
+            tag = ("serve:" + aotcache.performance_tag(perf, chunk_size)
+                   + f":{segment_chunks}:{emit}")
+            return aotcache.AotDispatch(seg_fn, tag)
         return jax.jit(seg_fn)
 
 

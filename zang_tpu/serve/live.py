@@ -387,7 +387,20 @@ class LiveFleet:
             return new_states, new_post, out
 
         self._pack = pack
-        self._step = jax.jit(jax.vmap(lane_step))
+        from ..graph import aotcache
+
+        if aotcache.default_cache_dir():
+            # ZANG_AOT_CACHE: fleet (re)starts and growth re-traces load
+            # the vmapped step from disk — no compile on the serving path
+            # (complements prewarm, which only hides the cost).
+            sess = self.lanes[0]
+            tag = "fleet:" + aotcache.stable_tag(
+                ([(p.instrument, p.polyphony) for p in sess.parts],
+                 sess.post_fn, sess.num_channels, sess.block_size,
+                 self._pcm16_volume))
+            self._step = aotcache.AotDispatch(jax.vmap(lane_step), tag)
+        else:
+            self._step = jax.jit(jax.vmap(lane_step))
         self._step_capacity = self.lanes[0].slot_capacity
 
     def render_block_async(self) -> jax.Array:

@@ -87,6 +87,21 @@ class TestKeys:
         assert aotcache.stable_tag(f1) != aotcache.stable_tag(f2)
         assert aotcache.stable_tag(f1) == aotcache.stable_tag(f1)
 
+    def test_constant_only_lambda_difference_keys_tag(self):
+        # co_code alone is identical here; co_consts must disambiguate
+        f1 = lambda p: 220.0  # noqa: E731
+        f2 = lambda p: 440.0  # noqa: E731
+        assert aotcache.stable_tag(f1) != aotcache.stable_tag(f2)
+
+    def test_closure_capture_keys_tag(self):
+        def make(base):
+            return lambda p: base * 2.0
+
+        assert aotcache.stable_tag(make(1.0)) != aotcache.stable_tag(
+            make(2.0))
+        assert aotcache.stable_tag(make(1.0)) == aotcache.stable_tag(
+            make(1.0))
+
     def test_env_knobs_key_performance_tag(self, monkeypatch):
         p = _perf(2048)
         t1 = aotcache.performance_tag(p, 1024)

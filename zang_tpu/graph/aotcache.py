@@ -54,6 +54,24 @@ _TRACE_KNOBS = (
 )
 
 
+def _code_fingerprint(code) -> str:
+    """Process-stable hash of a code object's BEHAVIOR: bytecode, names,
+    and constants (co_code alone misses constant-only edits — two lambdas
+    differing only in a literal share opcode streams). Nested code objects
+    (inner defs/lambdas/comprehensions) recurse — their default repr
+    embeds a memory address and must not leak into the hash."""
+    h = hashlib.sha1()
+    h.update(code.co_code)
+    h.update(repr(code.co_names).encode())
+    h.update(repr(code.co_varnames).encode())
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):
+            h.update(_code_fingerprint(c).encode())
+        else:
+            h.update(repr(c).encode())
+    return h.hexdigest()
+
+
 def stable_tag(obj) -> str:
     """A process-stable description of anything that shapes a traced graph
     (instrument configs, callables, chunk policy...). Unlike
@@ -79,9 +97,17 @@ def stable_tag(obj) -> str:
             return ("d", tuple(sorted((k, walk(x)) for k, x in v.items())))
         if callable(v):
             code = getattr(v, "__code__", None)
-            body = hashlib.sha1(code.co_code).hexdigest() if code else ""
+            body = _code_fingerprint(code) if code else ""
+            cells = getattr(v, "__closure__", None) or ()
+            captured = []
+            for cell in cells:
+                try:
+                    captured.append(walk(cell.cell_contents))
+                except Exception:  # noqa: BLE001 — unhashable capture
+                    captured.append(("?", repr(type(cell.cell_contents))))
             return ("f", getattr(v, "__module__", ""),
-                    getattr(v, "__qualname__", type(v).__name__), body)
+                    getattr(v, "__qualname__", type(v).__name__), body,
+                    tuple(captured))
         pub = tuple(sorted(
             (k, walk(x)) for k, x in getattr(v, "__dict__", {}).items()
             if not k.startswith("_")))

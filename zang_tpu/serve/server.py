@@ -16,8 +16,9 @@ frames; binary audio payloads):
     {"op": "hello"}                     optional handshake request
     {"op": "event", "part": P, "params": {...},
      "note_id": N?, "impulse_frame": F?}   push_event into this lane
-    {"op": "key", "part": P, "key": "a", "down": true, ...}
-                                        two-row keyboard map (host/keyboard)
+    {"op": "key", "part": P, "key": "q", "down": true, ...}
+                                        two-row keyboard map (host/keyboard;
+                                        unmapped keys are silently ignored)
     {"op": "bye"}                       orderly detach
 
   server -> client:

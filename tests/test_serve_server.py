@@ -92,6 +92,60 @@ class TestProtocol:
             c.sock.close()
 
 
+class TestRecording:
+    def test_take_is_playing_audio(self, tmp_path):
+        """A take captures whole rendered blocks of the lane's stream
+        while the note is sounding."""
+        from zang_tpu.core.wav import read_wav
+
+        with make_server(record_dir=str(tmp_path)) as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                c.read_block()  # let the note land
+                fname = c.record_start()
+                for _ in range(3):  # keep consuming while recording
+                    c.read_block()
+                ack = c.record_stop()
+                assert ack["file"] == fname
+                wav = read_wav(str(tmp_path / fname))
+                assert wav.sample_rate == int(SR)
+                assert wav.num_channels == 1 and wav.bits_per_sample == 16
+                data = np.frombuffer(wav.data, np.int16)
+                assert len(data) == round(ack["seconds"] * SR)
+                assert len(data) % BLOCK == 0 and len(data) >= BLOCK
+                assert np.abs(data).max() > 100  # the held note is audible
+            finally:
+                c.close()
+
+    def test_disconnect_flushes_take(self, tmp_path):
+        with make_server(record_dir=str(tmp_path)) as srv:
+            c = LiveClient(srv.host, srv.port)
+            c.send_event(0, {"freq": 330.0, "note_on": True})
+            c.record_start()
+            c.read_block()
+            c.close()  # bye without record_stop
+            import time
+
+            deadline = 100
+            while not list(tmp_path.glob("*.wav")) and deadline:
+                time.sleep(0.1)
+                deadline -= 1
+            assert list(tmp_path.glob("*.wav"))
+
+    def test_recording_disabled_without_dir(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            import json
+
+            c.sock.sendall(json.dumps({"op": "record_start"}).encode()
+                           + b"\n")
+            with pytest.raises((RuntimeError, EOFError)):
+                for _ in range(50):
+                    c.read_control()
+            c.sock.close()
+
+
 class TestLifecycle:
     def test_disconnect_frees_lane_for_next_client(self):
         with make_server(initial_lanes=1, max_lanes=1) as srv:
@@ -101,7 +155,7 @@ class TestLifecycle:
             a.close()
             # server notices the goodbye and detaches; the next client
             # reuses the slot
-            deadline = 50
+            deadline = 300  # generous: the 1-core CI box schedules slowly
             while srv.num_clients and deadline:
                 import time
 

@@ -19,6 +19,10 @@ frames; binary audio payloads):
     {"op": "key", "part": P, "key": "q", "down": true, ...}
                                         two-row keyboard map (host/keyboard;
                                         unmapped keys are silently ignored)
+    {"op": "record_start"} / {"op": "record_stop"}
+                                        server-side per-lane WAV capture
+                                        (recorder.zig's feature at the
+                                        serving tier; needs record_dir)
     {"op": "bye"}                       orderly detach
 
   server -> client:
@@ -26,6 +30,9 @@ frames; binary audio payloads):
      "num_channels": C, "dtype": "int16"|"float32"}\n
     {"op": "block", "seq": K, "frame": F, "nbytes": NB}\n  + NB raw bytes
         one [C, B] audio block, C-major, little-endian
+    {"op": "record_started", "file": ...} / {"op": "record_stopped",
+     "file": ..., "seconds": N}         recording acks (interleaved with
+                                        block frames — LiveClient demuxes)
     {"op": "error", "message": ...}\n   then the connection closes
 
 Events are fire-and-forget (MIDI discipline): clients that need to
@@ -40,6 +47,7 @@ attach/detach/render are serialized by the server's lock.
 """
 
 import json
+import os
 import socket
 import socketserver
 import threading
@@ -79,6 +87,8 @@ class LiveServer:
         realtime: bool = True,
         send_timeout: float = 2.0,
         pcm16_volume: Optional[float] = 0.5,
+        record_dir: Optional[str] = None,
+        max_record_blocks: int = 32768,
         **fleet_kwargs,
     ) -> None:
         self.fleet = LiveFleet(
@@ -88,6 +98,9 @@ class LiveServer:
         self.realtime = bool(realtime)
         self.send_timeout = float(send_timeout)
         self._dtype = "float32" if pcm16_volume is None else "int16"
+        self._record_dir = record_dir
+        self._max_record_blocks = int(max_record_blocks)
+        self._recordings = {}  # lane -> list of [C, B] blocks
         self._lock = threading.Lock()  # fleet attach/detach/render
         self._clients = {}  # lane -> (socket, per-socket send lock)
         self._seq = 0
@@ -162,6 +175,10 @@ class LiveServer:
             return lane, send_lock
 
     def _detach(self, lane: int) -> None:
+        try:  # a disconnect must not lose an in-progress take
+            self._record_stop(lane)
+        except Exception:  # noqa: BLE001 — best-effort flush
+            pass
         with self._lock:
             if self._clients.pop(lane, None) is None:
                 return
@@ -221,6 +238,41 @@ class LiveServer:
         except OSError:
             pass
 
+    # -- per-lane recording (recorder.zig's feature at the serving tier) ----
+
+    def _record_start(self, lane: int) -> str:
+        if self._record_dir is None:
+            raise _ClientError("recording disabled (no record_dir)")
+        os.makedirs(self._record_dir, exist_ok=True)
+        with self._lock:
+            if lane in self._recordings:
+                raise _ClientError("already recording")
+            fname = f"lane{lane}_seq{self._seq + 1}.wav"
+            self._recordings[lane] = (fname, [])
+        return fname
+
+    def _record_stop(self, lane: int):
+        """Write the take; returns (fname, seconds) or None if idle."""
+        with self._lock:
+            entry = self._recordings.pop(lane, None)
+        if entry is None:
+            return None
+        fname, blocks = entry
+        sr = int(self.fleet._sample_rate)
+        if blocks:
+            audio = np.concatenate(blocks, axis=1)
+        else:
+            audio = np.zeros((1, 0), np.int16)
+        if audio.dtype != np.int16:
+            from ..core.mixdown import mixdown_s16_np
+
+            audio = mixdown_s16_np(audio, 1.0)
+        from ..core.wav import write_wav_s16
+
+        write_wav_s16(os.path.join(self._record_dir, fname), audio, sr,
+                      num_channels=audio.shape[0])
+        return fname, audio.shape[1] / float(sr)
+
     def _dispatch(self, lane: int, msg: dict) -> bool:
         """Apply one client frame; True = orderly goodbye."""
         op = msg.get("op")
@@ -235,11 +287,29 @@ class LiveServer:
             self.fleet.key_event(
                 lane, int(msg.get("part", 0)), msg["key"],
                 bool(msg["down"]), **kw)
+        elif op == "record_start":
+            fname = self._record_start(lane)
+            self._reply(lane, {"op": "record_started", "file": fname})
+        elif op == "record_stop":
+            done = self._record_stop(lane)
+            if done is None:
+                raise _ClientError("not recording")
+            self._reply(lane, {"op": "record_stopped", "file": done[0],
+                               "seconds": done[1]})
         elif op == "bye":
             return True
         elif op != "hello":  # hello is answered by the welcome frame
             raise _ClientError(f"unknown op {op!r}")
         return False
+
+    def _reply(self, lane: int, obj: dict) -> None:
+        with self._lock:
+            entry = self._clients.get(lane)
+        if entry is None:
+            return
+        sock, send_lock = entry
+        with send_lock:
+            _send_json(sock, obj)
 
     # -- render loop -------------------------------------------------------
 
@@ -258,6 +328,10 @@ class LiveServer:
                 audio = self.fleet.render_block()
                 frame = self.fleet.lanes[0].frame - sess.block_size
             self._seq += 1
+            with self._lock:
+                for lane, (_f, blocks) in self._recordings.items():
+                    if len(blocks) < self._max_record_blocks:
+                        blocks.append(np.array(audio[lane]))
             for lane, (sock, send_lock) in targets.items():
                 payload = np.ascontiguousarray(audio[lane]).tobytes()
                 try:
@@ -290,6 +364,8 @@ class LiveClient:
     def __init__(self, host: str, port: int, timeout: float = 300.0) -> None:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
+        self._pending_blocks = []
+        self._pending_ctrl = []
         self.welcome = self._read_json()
         if self.welcome.get("op") == "error":
             raise RuntimeError(self.welcome["message"])
@@ -325,17 +401,55 @@ class LiveClient:
         _send_json(self.sock, {"op": "key", "part": part, "key": key,
                                "down": down, **kw})
 
-    def read_block(self) -> np.ndarray:
-        """Next audio block as [num_channels, block_size]."""
+    def _next_frame(self):
+        """(kind, value): ("block", array) or (op, header dict)."""
         hdr = self._read_json()
-        if hdr.get("op") == "error":
+        op = hdr.get("op")
+        if op == "error":
             raise RuntimeError(hdr["message"])
-        assert hdr["op"] == "block", hdr
+        if op != "block":
+            return op, hdr
         raw = self._read_exact(hdr["nbytes"])
         dtype = np.dtype(self.welcome["dtype"]).newbyteorder("<")
         a = np.frombuffer(raw, dtype=dtype)
-        return a.reshape(self.welcome["num_channels"],
-                         self.welcome["block_size"])
+        return "block", a.reshape(self.welcome["num_channels"],
+                                  self.welcome["block_size"])
+
+    def read_block(self) -> np.ndarray:
+        """Next audio block as [num_channels, block_size] (control frames
+        arriving first are queued for read_control)."""
+        if self._pending_blocks:
+            return self._pending_blocks.pop(0)
+        while True:
+            kind, v = self._next_frame()
+            if kind == "block":
+                return v
+            self._pending_ctrl.append(v)
+
+    def read_control(self) -> dict:
+        """Next non-block frame (record acks...); audio arriving first is
+        queued for read_block."""
+        if self._pending_ctrl:
+            return self._pending_ctrl.pop(0)
+        while True:
+            kind, v = self._next_frame()
+            if kind != "block":
+                return v
+            self._pending_blocks.append(v)
+
+    def record_start(self) -> str:
+        """Start a server-side take of this lane; returns the file name."""
+        _send_json(self.sock, {"op": "record_start"})
+        ack = self.read_control()
+        assert ack["op"] == "record_started", ack
+        return ack["file"]
+
+    def record_stop(self) -> dict:
+        """Finish the take; returns {"file": ..., "seconds": ...}."""
+        _send_json(self.sock, {"op": "record_stop"})
+        ack = self.read_control()
+        assert ack["op"] == "record_stopped", ack
+        return ack
 
     def close(self) -> None:
         try:

@@ -92,6 +92,51 @@ class TestProtocol:
             c.sock.close()
 
 
+class TestStatsAndDsl:
+    def test_stats_frame(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                for _ in range(3):
+                    c.read_block()
+                st = c.stats()
+                assert st["clients"] == 1
+                assert st["lanes"] >= 1
+                assert st["blocks_served"] >= 3
+                assert st["block_time_ms"] > 0
+                assert st["realtime_headroom"] is not None
+                assert st["dtype"] == "int16"
+            finally:
+                c.close()
+
+    def test_dsl_instrument_lanes_over_tcp(self):
+        """A zangscript instrument serves over the wire like a native one
+        (the DSL path through fleet + server end to end)."""
+        from zang_tpu.script import compile_script
+        from zang_tpu.script.jax_backend import ScriptInstrument
+
+        src = """
+V = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.02), decay=.cubed(0.1),
+                 release=.linear(0.3), sustain_volume=0.8, note_on)
+    out e * PulseOsc(freq, color=0.4) * 0.5
+end
+"""
+        cs = compile_script(src)
+        srv = LiveServer(lambda: [(ScriptInstrument(cs, "V"), 2)], 44100.0,
+                         port=0, initial_lanes=1, realtime=False,
+                         block_size=BLOCK)
+        with srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
+                assert max(peaks) > 100, peaks
+            finally:
+                c.close()
+
+
 class TestRecording:
     def test_take_is_playing_audio(self, tmp_path):
         """A take captures whole rendered blocks of the lane's stream

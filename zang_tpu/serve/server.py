@@ -19,6 +19,8 @@ frames; binary audio payloads):
     {"op": "key", "part": P, "key": "q", "down": true, ...}
                                         two-row keyboard map (host/keyboard;
                                         unmapped keys are silently ignored)
+    {"op": "stats"}                     serving stats (block cadence vs
+                                        realtime budget, lanes, clients)
     {"op": "record_start"} / {"op": "record_stop"}
                                         server-side per-lane WAV capture
                                         (recorder.zig's feature at the
@@ -104,6 +106,7 @@ class LiveServer:
         self._lock = threading.Lock()  # fleet attach/detach/render
         self._clients = {}  # lane -> (socket, per-socket send lock)
         self._seq = 0
+        self._block_times = []  # rolling window, seconds
         self._stop = threading.Event()
         self._render_thread: Optional[threading.Thread] = None
 
@@ -154,6 +157,28 @@ class LiveServer:
     def num_clients(self) -> int:
         with self._lock:
             return len(self._clients)
+
+    def stats(self) -> dict:
+        """Serving observability: block cadence vs the realtime budget,
+        fleet size, client count, blocks served. The block-time window is
+        the last 256 blocks; headroom < 1.0 means the fleet is falling
+        behind its realtime budget (time to shed lanes or grow chips)."""
+        sess = self.fleet.lanes[0]
+        budget = sess.block_size / self.fleet._sample_rate
+        with self._lock:
+            times = list(self._block_times)
+            clients = len(self._clients)
+        med = float(np.median(times)) if times else None
+        return {
+            "clients": clients,
+            "lanes": self.fleet.num_lanes,
+            "blocks_served": self._seq,
+            "block_budget_ms": round(budget * 1e3, 2),
+            "block_time_ms": None if med is None else round(med * 1e3, 2),
+            "realtime_headroom": None if med is None
+            else round(budget / med, 2),
+            "dtype": self._dtype,
+        }
 
     # -- per-client connection --------------------------------------------
 
@@ -287,6 +312,8 @@ class LiveServer:
             self.fleet.key_event(
                 lane, int(msg.get("part", 0)), msg["key"],
                 bool(msg["down"]), **kw)
+        elif op == "stats":
+            self._reply(lane, {"op": "stats", **self.stats()})
         elif op == "record_start":
             fname = self._record_start(lane)
             self._reply(lane, {"op": "record_started", "file": fname})
@@ -324,9 +351,14 @@ class LiveServer:
                 next_deadline = time.monotonic()
                 time.sleep(0.01)
                 continue
+            t0 = time.monotonic()
             with self._lock:
                 audio = self.fleet.render_block()
                 frame = self.fleet.lanes[0].frame - sess.block_size
+            with self._lock:
+                self._block_times.append(time.monotonic() - t0)
+                if len(self._block_times) > 256:
+                    del self._block_times[:-256]
             self._seq += 1
             with self._lock:
                 for lane, (_f, blocks) in self._recordings.items():
@@ -449,6 +481,12 @@ class LiveClient:
         _send_json(self.sock, {"op": "record_stop"})
         ack = self.read_control()
         assert ack["op"] == "record_stopped", ack
+        return ack
+
+    def stats(self) -> dict:
+        _send_json(self.sock, {"op": "stats"})
+        ack = self.read_control()
+        assert ack["op"] == "stats", ack
         return ack
 
     def close(self) -> None:

@@ -102,6 +102,23 @@ class TestKeyEvents:
         live = LiveSession([(ti.NiceInstrument(0.3), 1)], SR, BLOCK)
         assert live.key_event(0, "!", True) is None
 
+    def test_default_key_pairing_without_caller_dict(self):
+        """key_event with no note_ids uses the session's own per-part
+        tracker: the key-up reuses the key-down's note id, so polyphonic
+        dispatchers (which drop offs with unmatched ids) release the note.
+        Regression: an unpaired off used to leave wire-driven notes stuck."""
+        live = LiveSession([(ti.NiceInstrument(0.3), 3)], SR, BLOCK)
+        nid_on = live.key_event(0, "z", True)
+        blk1 = live.render_block()
+        nid_off = live.key_event(0, "z", False)
+        assert nid_off == nid_on
+        blk2 = live.render_block()
+        tail = live.render_blocks(20)
+        assert np.abs(blk1).max() > 1e-4
+        assert np.abs(tail[:, -BLOCK:]).max() < np.abs(blk2).max()
+        # a key-up with no matching down is a no-op, not a fresh-id off
+        assert live.key_event(0, "x", False) is None
+
 
 class TestScriptLive:
     def test_script_instrument_in_live_session(self):

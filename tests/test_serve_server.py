@@ -80,6 +80,26 @@ class TestProtocol:
             finally:
                 c.close()
 
+    def test_key_up_releases_note_over_wire(self):
+        """The server pairs key-downs/ups per lane (LiveSession's internal
+        tracker), so a wire key-up actually releases the note through the
+        polyphony dispatcher instead of being dropped for lack of a
+        matching note id (stuck note)."""
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_key(0, "q", True)
+                held_peak = max(
+                    float(np.abs(c.read_block()).max()) for _ in range(6))
+                assert held_peak > 100
+                c.send_key(0, "q", False)
+                last = 0.0
+                for _ in range(30):  # release tail decays over ~0.6 s
+                    last = float(np.abs(c.read_block()).max())
+                assert last < held_peak / 4, (last, held_peak)
+            finally:
+                c.close()
+
     def test_unknown_op_gets_error(self):
         with make_server() as srv:
             c = LiveClient(srv.host, srv.port)

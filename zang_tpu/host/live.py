@@ -118,6 +118,7 @@ class LiveSession:
             for inst, poly in parts
         ]
         self._horizon = 1 << 20  # plan horizon (frames); grows by doubling
+        self._held_keys = {}  # part -> {key: note_id} (default key pairing)
 
     # -- event input ------------------------------------------------------
 
@@ -136,10 +137,18 @@ class LiveSession:
         """Keyboard-map helper (examples/common.zig:24-66 two-row map).
 
         note_ids, if given, tracks held keys so note-offs reuse the note id
-        of the matching note-on (the example hosts' note_ids arrays)."""
+        of the matching note-on (the example hosts' note_ids arrays,
+        example_play.zig:84-103). When omitted, the session keeps its own
+        per-part tracker — required for polyphonic parts, where the
+        dispatcher drops a note-off whose id matches no held note
+        (core/notes.py _choose_slot; notes.zig:246-258), so an unpaired
+        key-up would otherwise leave the note stuck (e.g. over the TCP
+        serving protocol, which has no client-side id state)."""
         rel = keyboard.get_key_rel_freq(key)
         if rel is None:
             return None
+        if note_ids is None:
+            note_ids = self._held_keys.setdefault(part, {})
         params = {"freq": float(np.float32(a4 * rel)), "note_on": down}
         if extra:
             params.update(extra)

@@ -1,0 +1,282 @@
+"""Interactive terminal client for LiveServer: play the synth from stdin.
+
+The reference's interactive host is an SDL event loop — key-downs/ups
+push impulses, the audio callback streams blocks out, backquote toggles
+the note recorder (examples/example.zig:393-400,423-440). This is that
+loop as a network client of the TPU serving tier: raw-mode terminal keys
+map through the same two-row keyboard layout (host/keyboard.py,
+examples/common.zig:24-66), audio blocks stream back over TCP, and an
+optional WAV capture plays the write_wav role on the client side.
+
+Terminals deliver no key-release events (SDL did), so note-offs are
+emulated with a gate timer: each press schedules its release --gate
+seconds later, and re-pressing a held key retriggers it (off + on), the
+same impulse sequence the SDL host produced for a physical re-press.
+
+Keys: two-row musical layout plays notes; "`" toggles server-side
+recording (the reference recorder's key); "1" prints serving stats;
+Esc / Ctrl-C / Ctrl-D quit.
+
+Run a server first (python -m zang_tpu.serve.server), then:
+    python -m zang_tpu.serve.client --port 9800 --wav take.wav
+"""
+
+import sys
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.wav import StreamingWavWriter
+from .server import LiveClient, _send_json
+
+
+class TerminalPlayer:
+    """Drives one LiveServer lane: presses in, audio/VU/WAV out.
+
+    Owns the socket reader (one thread demuxes block + control frames —
+    LiveClient's pull-style readers assume a single consumer). press() is
+    called from any thread (the stdin loop in main(), tests directly).
+    """
+
+    def __init__(
+        self,
+        client: LiveClient,
+        part: int = 0,
+        gate: float = 0.3,
+        wav_path: Optional[str] = None,
+        quiet: bool = False,
+    ) -> None:
+        self.client = client
+        self.part = int(part)
+        self.gate = float(gate)
+        self.quiet = quiet
+        self.blocks_received = 0
+        self.level = 0.0  # peak of the last block, 0..1
+        self.recording_file: Optional[str] = None
+        self.last_stats: Optional[dict] = None
+        self._timers = {}  # key -> threading.Timer
+        self._rec_pending = False  # record toggle awaiting its ack
+        self._lock = threading.Lock()  # timers + wav writer
+        self._stop = threading.Event()
+        self._full_scale = (
+            32767.0 if client.welcome["dtype"] == "int16" else 1.0)
+        self._wav = None
+        if wav_path:
+            self._wav = StreamingWavWriter(
+                wav_path, int(client.welcome["sample_rate"]),
+                num_channels=int(client.welcome["num_channels"]))
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    # -- input --------------------------------------------------------------
+
+    def press(self, key: str) -> None:
+        """Key-down now, auto-release after the gate (retrigger if held)."""
+        with self._lock:
+            t = self._timers.pop(key, None)
+            if t is not None:
+                t.cancel()
+                self.client.send_key(self.part, key, False)
+            self.client.send_key(self.part, key, True)
+            timer = threading.Timer(self.gate, self._auto_release, (key,))
+            timer.daemon = True
+            self._timers[key] = timer
+            timer.start()
+
+    def release(self, key: str) -> None:
+        with self._lock:
+            t = self._timers.pop(key, None)
+            if t is not None:
+                t.cancel()
+                self.client.send_key(self.part, key, False)
+
+    def _auto_release(self, key: str) -> None:
+        with self._lock:
+            if self._timers.pop(key, None) is not None:
+                try:
+                    self.client.send_key(self.part, key, False)
+                except OSError:
+                    pass
+
+    def toggle_recording(self) -> None:
+        """Backquote behavior: start a server-side take, or stop it.
+        Toggles while an ack is in flight are dropped (a duplicate
+        record_start is a protocol error that would close the lane)."""
+        with self._lock:
+            if self._rec_pending:
+                return
+            self._rec_pending = True
+        op = "record_stop" if self.recording_file else "record_start"
+        _send_json(self.client.sock, {"op": op})
+        # the ack arrives on the reader thread (_read_loop prints it)
+
+    def request_stats(self) -> None:
+        _send_json(self.client.sock, {"op": "stats"})
+
+    # -- output -------------------------------------------------------------
+
+    def _read_loop(self) -> None:
+        last_vu = 0.0
+        try:
+            while not self._stop.is_set():
+                kind, v = self.client._next_frame()
+                if kind == "block":
+                    self.blocks_received += 1
+                    self.level = float(np.abs(v).max()) / self._full_scale
+                    if self._wav is not None:
+                        with self._lock:
+                            if self._wav is not None:
+                                self._wav.append(self._to_i16(v))
+                    now = time.monotonic()
+                    if not self.quiet and now - last_vu > 0.1:
+                        last_vu = now
+                        self._print_vu()
+                elif kind == "record_started":
+                    with self._lock:
+                        self.recording_file = v["file"]
+                        self._rec_pending = False
+                    self._note(f"recording -> {v['file']}")
+                elif kind == "record_stopped":
+                    with self._lock:
+                        self.recording_file = None
+                        self._rec_pending = False
+                    self._note(
+                        f"take saved: {v['file']} ({v['seconds']:.2f}s)")
+                elif kind == "stats":
+                    self.last_stats = v
+                    self._note(
+                        f"lanes {v['lanes']} clients {v['clients']} "
+                        f"block {v['block_time_ms']}ms / "
+                        f"budget {v['block_budget_ms']}ms "
+                        f"(headroom {v['realtime_headroom']}x)")
+        except (EOFError, OSError, RuntimeError) as e:
+            if not self._stop.is_set():
+                self._note(f"server closed: {e}")
+                self._stop.set()
+
+    def _to_i16(self, block: np.ndarray) -> np.ndarray:
+        if block.dtype == np.int16:
+            return block
+        from ..core.mixdown import mixdown_s16_np
+
+        return mixdown_s16_np(block, 1.0)
+
+    def _print_vu(self) -> None:
+        bar = int(min(self.level, 1.0) * 40)
+        rec = " REC" if self.recording_file else ""
+        sys.stderr.write(
+            "\r[%-40s] %5.1f%%%s " % ("#" * bar, self.level * 100, rec))
+        sys.stderr.flush()
+
+    def _note(self, msg: str) -> None:
+        if not self.quiet:
+            sys.stderr.write("\r\x1b[K" + msg + "\n")
+            sys.stderr.flush()
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._lock:
+            for t in self._timers.values():
+                t.cancel()
+            self._timers.clear()
+        try:
+            self.client.close()
+        except OSError:
+            pass
+        self._reader.join(timeout=5.0)
+        with self._lock:
+            if self._wav is not None:
+                self._wav.close()
+                self._wav = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def _stdin_keys():
+    """Yield single characters from a raw-mode terminal (cbreak: no echo,
+    no line buffering — the SDL keydown analog)."""
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        while True:
+            ch = sys.stdin.read(1)
+            if not ch:
+                return
+            yield ch
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="zang-play",
+        description="Play a zang-tpu live server from the terminal "
+                    "(two-row musical keyboard; ` records, 1 = stats, "
+                    "Esc quits)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9800)
+    ap.add_argument("--part", type=int, default=0)
+    ap.add_argument("--gate", type=float, default=0.3,
+                    help="seconds a pressed key stays held (terminals have "
+                         "no key-up events)")
+    ap.add_argument("--wav", help="also capture the stream to a WAV file")
+    args = ap.parse_args(argv)
+
+    client = LiveClient(args.host, args.port)
+    w = client.welcome
+    print(f"lane {w['lane']} @ {args.host}:{args.port}  "
+          f"block {w['block_size']} / {w['sample_rate']:.0f} Hz "
+          f"{w['dtype']}", file=sys.stderr)
+    if not sys.stdin.isatty():
+        print("stdin is not a tty — pipe mode: one key per line "
+              "(blank line = quit)", file=sys.stderr)
+    with TerminalPlayer(client, part=args.part, gate=args.gate,
+                        wav_path=args.wav) as player:
+        try:
+            if sys.stdin.isatty():
+                for ch in _stdin_keys():
+                    if ch in ("\x1b", "\x03", "\x04"):  # Esc / ^C / ^D
+                        break
+                    elif ch == "`":
+                        player.toggle_recording()
+                    elif ch == "1":
+                        player.request_stats()
+                    elif ch.strip():
+                        player.press(ch)
+            else:  # scripted/pipe mode, for tests and automation
+                # wait for the stream to start (first-block jit compile can
+                # take tens of seconds on a cold server) so scripted presses
+                # land in flowing audio, as the SDL host's keys did once the
+                # audio device was running
+                deadline = time.monotonic() + 300
+                while (player.blocks_received == 0
+                       and time.monotonic() < deadline):
+                    time.sleep(0.05)
+                for line in sys.stdin:
+                    key = line.strip()
+                    if not key:
+                        break
+                    player.press(key)
+                    time.sleep(args.gate)
+                time.sleep(args.gate + 0.1)  # let the last release land
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

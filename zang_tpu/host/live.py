@@ -25,6 +25,7 @@ Latency is one block. On a local TPU a 1024-sample block at 48 kHz
 4096+ sample blocks.
 """
 
+import copy
 import os
 import threading
 from dataclasses import dataclass
@@ -379,3 +380,97 @@ class LiveSession:
 
     def render_blocks(self, count: int) -> np.ndarray:
         return np.concatenate([self.render_block() for _ in range(count)], axis=1)
+
+    # -- snapshot / restore (session migration) -----------------------------
+
+    def _spec_fingerprint(self) -> tuple:
+        return (
+            self.sample_rate, self.block_size, self.num_channels,
+            tuple((type(p.instrument).__name__, p.polyphony,
+                   p.planner is not None) for p in self.parts),
+            self.post_fn is not None,
+        )
+
+    def snapshot(self, dev_override=None) -> bytes:
+        """Serialize the session's complete state — clock, note ids, queued
+        events, dispatcher/trigger state, planner walks, device arrays — as
+        a self-contained blob restorable on a fresh session with the same
+        parts spec (host/snapshot.py; the continuation is bit-exact).
+
+        dev_override: (per_part_dev_states, post_state) replacing the
+        session's own device state — LiveFleet passes the lane's slice of
+        its stacked state, which is where a fleet lane's live state
+        actually is."""
+        from . import snapshot as snap
+
+        np_tree = lambda t: jax.tree_util.tree_map(
+            lambda x: np.asarray(x), t)
+        with self._lock:
+            if dev_override is not None:
+                dev_states, post = dev_override
+                dev_states = [np_tree(d) for d in dev_states]
+                post = np_tree(post)
+            else:
+                dev_states = [
+                    None if p.dev_state is None else np_tree(p.dev_state)
+                    for p in self.parts
+                ]
+                post = np_tree(self.post_state)
+            parts = [
+                {
+                    "queue": snap.extract_state(p.queue),
+                    "dispatcher": snap.extract_state(p.dispatcher),
+                    "triggers": snap.extract_state(p.triggers),
+                    "segs": copy.deepcopy(p.segs),
+                    "planner": (None if p.planner is None
+                                else snap.extract_state(p.planner)),
+                    "dev_state": dev,
+                }
+                for p, dev in zip(self.parts, dev_states)
+            ]
+            state = {
+                "version": 1,
+                "spec": self._spec_fingerprint(),
+                "frame": self.frame,
+                "horizon": self._horizon,
+                "slot_capacity": self.slot_capacity,
+                "next_id": self.idgen.next_id,
+                "held_keys": copy.deepcopy(self._held_keys),
+                "post_state": post,
+                "parts": parts,
+            }
+        return snap.dumps(state)
+
+    def restore(self, blob: bytes) -> None:
+        """Load a snapshot into this FRESH session (same parts spec; no
+        events pushed, no blocks rendered). The next render_block continues
+        the captured stream bit-exactly."""
+        from . import snapshot as snap
+
+        state = snap.loads(blob)
+        if state.get("version") != 1:
+            raise ValueError(f"unknown snapshot version {state.get('version')}")
+        if state["spec"] != self._spec_fingerprint():
+            raise ValueError(
+                f"snapshot spec mismatch: saved {state['spec']} vs this "
+                f"session {self._spec_fingerprint()}")
+        with self._lock:
+            if self.frame != 0 or any(p.segs[v] for p in self.parts
+                                      for v in range(p.polyphony)):
+                raise ValueError("restore target must be a fresh session")
+            self.frame = state["frame"]
+            self._horizon = state["horizon"]
+            self.slot_capacity = max(self.slot_capacity,
+                                     state["slot_capacity"])
+            self.idgen.next_id = state["next_id"]
+            self._held_keys = state["held_keys"]
+            self.post_state = state["post_state"]
+            for p, ps in zip(self.parts, state["parts"]):
+                snap.graft_state(p.queue, ps["queue"])
+                snap.graft_state(p.dispatcher, ps["dispatcher"])
+                p.triggers = snap.graft_state(p.triggers, ps["triggers"])
+                p.segs = ps["segs"]
+                if ps["planner"] is not None:
+                    snap.graft_state(p.planner, ps["planner"])
+                p.dev_state = ps["dev_state"]
+                p.plan_cache = None

@@ -169,6 +169,42 @@ class LiveFleet:
             self._prewarm_async(2 * len(self.lanes))
         return first_new
 
+    # -- lane migration (snapshot/restore) -----------------------------------
+
+    def snapshot_lane(self, lane: int) -> bytes:
+        """Capture one lane's complete session state — host walks plus its
+        slice of the fleet's STACKED device state — as a blob restorable on
+        another fleet with the same instrument spec (host/snapshot.py).
+        Serving use: drain a server, rebalance lanes across chips, or
+        survive a restart without killing the session. Not safe concurrent
+        with render_block — callers serialize (LiveServer holds its lock)."""
+        self._check_attached(lane)
+        sess = self.lanes[lane]
+        with self._lock:
+            pending = lane in self._pending_reset
+        if self._states is None or pending:
+            # no stacked state yet (or a reset/restore is pending insertion):
+            # the truth is in the session itself
+            return sess.snapshot()
+        dev = jax.tree_util.tree_map(
+            lambda x: np.asarray(x[lane]), self._states)
+        post = jax.tree_util.tree_map(
+            lambda x: np.asarray(x[lane]), self._post_state)
+        return sess.snapshot(dev_override=(dev, post))
+
+    def restore_lane(self, lane: int, blob: bytes) -> None:
+        """Replace a lane with a restored session (the migration receive
+        side); the lane continues the captured stream bit-exactly on the
+        next block. Accepts an attached or detached lane slot; slot
+        capacity synchronizes fleet-wide (one re-trace if it grew)."""
+        s = self._new_session()
+        s.restore(blob)
+        with self._lock:
+            self.lanes[lane] = s
+            self._free.discard(lane)
+            self._pending_reset.append(lane)
+        self._sync_capacity()
+
     def detach_lane(self, lane: int) -> None:
         """Remove a session from the fleet; the slot renders silence and is
         reused by the next attach_lane. The fleet never shrinks (shrinking

@@ -157,6 +157,52 @@ end
                 c.close()
 
 
+class TestMigration:
+    def test_session_migrates_between_servers(self):
+        """Play on server A, snapshot the lane over the wire, restore it on
+        server B: the held note keeps sounding there and its key-up still
+        releases it (the held-key tracker migrated too)."""
+        with make_server(allow_migration=True) as a_srv, \
+                make_server(allow_migration=True) as b_srv:
+            ca = LiveClient(a_srv.host, a_srv.port)
+            try:
+                ca.send_key(0, "q", True)
+                held = max(
+                    float(np.abs(ca.read_block()).max()) for _ in range(6))
+                assert held > 100
+                blob = ca.snapshot()
+                assert len(blob) > 100
+            finally:
+                ca.close()
+
+            cb = LiveClient(b_srv.host, b_srv.port)
+            try:
+                frame = cb.restore(blob)
+                assert frame > 0
+                # the note survived the move — audible with no new events
+                peaks = [float(np.abs(cb.read_block()).max())
+                         for _ in range(8)]
+                assert max(peaks) > 100, peaks
+                # and releases through the migrated key tracker
+                cb.send_key(0, "q", False)
+                for _ in range(30):
+                    last = float(np.abs(cb.read_block()).max())
+                assert last < max(peaks) / 4, (last, peaks)
+            finally:
+                cb.close()
+
+    def test_migration_disabled_by_default(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            import json
+
+            c.sock.sendall(json.dumps({"op": "snapshot"}).encode() + b"\n")
+            with pytest.raises((RuntimeError, EOFError)):
+                for _ in range(50):
+                    c.read_block()
+            c.sock.close()
+
+
 class TestRecording:
     def test_take_is_playing_audio(self, tmp_path):
         """A take captures whole rendered blocks of the lane's stream
@@ -168,12 +214,14 @@ class TestRecording:
             try:
                 c.send_event(0, {"freq": 440.0, "note_on": True})
                 c.read_block()  # let the note land
-                fname = c.record_start()
-                for _ in range(3):  # keep consuming while recording
+                start = c.record_start()
+                # read past blocks that predate the take (socket-buffered
+                # in non-realtime mode) until >= 3 in-take blocks streamed
+                while c.last_block_seq < start["seq"] + 3:
                     c.read_block()
                 ack = c.record_stop()
-                assert ack["file"] == fname
-                wav = read_wav(str(tmp_path / fname))
+                assert ack["file"] == start["file"]
+                wav = read_wav(str(tmp_path / start["file"]))
                 assert wav.sample_rate == int(SR)
                 assert wav.num_channels == 1 and wav.bits_per_sample == 16
                 data = np.frombuffer(wav.data, np.int16)

@@ -25,6 +25,13 @@ frames; binary audio payloads):
                                         server-side per-lane WAV capture
                                         (recorder.zig's feature at the
                                         serving tier; needs record_dir)
+    {"op": "snapshot"}                  capture this lane's session state
+    {"op": "restore", "nbytes": N}\n + N raw bytes
+                                        load a snapshot into this lane —
+                                        session migration between servers
+                                        (both need allow_migration=True;
+                                        blobs are pickle, so only enable on
+                                        trusted/internal networks)
     {"op": "bye"}                       orderly detach
 
   server -> client:
@@ -35,6 +42,8 @@ frames; binary audio payloads):
     {"op": "record_started", "file": ...} / {"op": "record_stopped",
      "file": ..., "seconds": N}         recording acks (interleaved with
                                         block frames — LiveClient demuxes)
+    {"op": "snapshot", "nbytes": NB}\n + NB raw bytes   the session blob
+    {"op": "restored", "frame": F}\n    restore ack
     {"op": "error", "message": ...}\n   then the connection closes
 
 Events are fire-and-forget (MIDI discipline): clients that need to
@@ -91,6 +100,7 @@ class LiveServer:
         pcm16_volume: Optional[float] = 0.5,
         record_dir: Optional[str] = None,
         max_record_blocks: int = 32768,
+        allow_migration: bool = False,
         **fleet_kwargs,
     ) -> None:
         self.fleet = LiveFleet(
@@ -100,6 +110,7 @@ class LiveServer:
         self.realtime = bool(realtime)
         self.send_timeout = float(send_timeout)
         self._dtype = "float32" if pcm16_volume is None else "int16"
+        self._allow_migration = bool(allow_migration)
         self._record_dir = record_dir
         self._max_record_blocks = int(max_record_blocks)
         self._recordings = {}  # lane -> list of [C, B] blocks
@@ -236,7 +247,19 @@ class LiveServer:
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
                         continue
-                    if self._dispatch(lane, json.loads(line)):
+                    msg = json.loads(line)
+                    if msg.get("op") == "restore":
+                        # binary payload follows the header line (it may
+                        # contain newlines — consume it before resuming
+                        # line-oriented parsing)
+                        need = int(msg["nbytes"])
+                        while len(buf) < need:
+                            chunk = sock.recv(65536)
+                            if not chunk:
+                                return
+                            buf += chunk
+                        msg["_blob"], buf = buf[:need], buf[need:]
+                    if self._dispatch(lane, msg):
                         return  # bye
         except _ClientError as e:
             self._send_error(sock, lane, str(e))
@@ -314,9 +337,29 @@ class LiveServer:
                 bool(msg["down"]), **kw)
         elif op == "stats":
             self._reply(lane, {"op": "stats", **self.stats()})
+        elif op == "snapshot":
+            if not self._allow_migration:
+                raise _ClientError("migration disabled (allow_migration)")
+            with self._lock:  # serialize vs the render loop
+                blob = self.fleet.snapshot_lane(lane)
+            self._reply(lane, {"op": "snapshot", "nbytes": len(blob)},
+                        payload=blob)
+        elif op == "restore":
+            if not self._allow_migration:
+                raise _ClientError("migration disabled (allow_migration)")
+            try:
+                with self._lock:
+                    self.fleet.restore_lane(lane, msg["_blob"])
+                    frame = self.fleet.lanes[lane].frame
+            except ValueError as e:  # spec mismatch etc.
+                raise _ClientError(str(e))
+            self._reply(lane, {"op": "restored", "frame": frame})
         elif op == "record_start":
             fname = self._record_start(lane)
-            self._reply(lane, {"op": "record_started", "file": fname})
+            # seq lets a client wait until the stream passes the take's
+            # start (blocks already in its socket buffer predate the take)
+            self._reply(lane, {"op": "record_started", "file": fname,
+                               "seq": self._seq})
         elif op == "record_stop":
             done = self._record_stop(lane)
             if done is None:
@@ -329,7 +372,8 @@ class LiveServer:
             raise _ClientError(f"unknown op {op!r}")
         return False
 
-    def _reply(self, lane: int, obj: dict) -> None:
+    def _reply(self, lane: int, obj: dict,
+               payload: Optional[bytes] = None) -> None:
         with self._lock:
             entry = self._clients.get(lane)
         if entry is None:
@@ -337,6 +381,8 @@ class LiveServer:
         sock, send_lock = entry
         with send_lock:
             _send_json(sock, obj)
+            if payload is not None:
+                sock.sendall(payload)
 
     # -- render loop -------------------------------------------------------
 
@@ -398,6 +444,7 @@ class LiveClient:
         self._buf = b""
         self._pending_blocks = []
         self._pending_ctrl = []
+        self.last_block_seq = 0  # seq of the newest block frame received
         self.welcome = self._read_json()
         if self.welcome.get("op") == "error":
             raise RuntimeError(self.welcome["message"])
@@ -439,9 +486,13 @@ class LiveClient:
         op = hdr.get("op")
         if op == "error":
             raise RuntimeError(hdr["message"])
+        if op == "snapshot":  # header + binary blob
+            hdr["blob"] = self._read_exact(hdr["nbytes"])
+            return op, hdr
         if op != "block":
             return op, hdr
         raw = self._read_exact(hdr["nbytes"])
+        self.last_block_seq = hdr.get("seq", self.last_block_seq)
         dtype = np.dtype(self.welcome["dtype"]).newbyteorder("<")
         a = np.frombuffer(raw, dtype=dtype)
         return "block", a.reshape(self.welcome["num_channels"],
@@ -469,12 +520,14 @@ class LiveClient:
                 return v
             self._pending_blocks.append(v)
 
-    def record_start(self) -> str:
-        """Start a server-side take of this lane; returns the file name."""
+    def record_start(self) -> dict:
+        """Start a server-side take of this lane; returns the ack
+        ({"file": ..., "seq": ...} — blocks with seq > this are in the
+        take; already-buffered blocks with seq <= it predate it)."""
         _send_json(self.sock, {"op": "record_start"})
         ack = self.read_control()
         assert ack["op"] == "record_started", ack
-        return ack["file"]
+        return ack
 
     def record_stop(self) -> dict:
         """Finish the take; returns {"file": ..., "seconds": ...}."""
@@ -488,6 +541,23 @@ class LiveClient:
         ack = self.read_control()
         assert ack["op"] == "stats", ack
         return ack
+
+    def snapshot(self) -> bytes:
+        """Capture this lane's full session state (server must allow
+        migration); restore it on any server with the same instrument
+        spec to continue the session there."""
+        _send_json(self.sock, {"op": "snapshot"})
+        ack = self.read_control()
+        assert ack["op"] == "snapshot", ack
+        return ack["blob"]
+
+    def restore(self, blob: bytes) -> int:
+        """Load a snapshot into this lane; returns the restored frame."""
+        _send_json(self.sock, {"op": "restore", "nbytes": len(blob)})
+        self.sock.sendall(blob)
+        ack = self.read_control()
+        assert ack["op"] == "restored", ack
+        return ack["frame"]
 
     def close(self) -> None:
         try:

@@ -203,6 +203,46 @@ class TestMigration:
             c.sock.close()
 
 
+class TestResilience:
+    def test_transient_render_failure_recovers(self):
+        """Sporadic device errors (the remote tunnel drops occasionally)
+        must not kill the render thread — the stream rides them out."""
+        with make_server() as srv:
+            fails = {"n": 2}
+            orig = srv.fleet.render_block
+
+            def flaky():
+                if fails["n"] > 0:
+                    fails["n"] -= 1
+                    raise RuntimeError("transient device error")
+                return orig()
+
+            srv.fleet.render_block = flaky
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
+                assert max(peaks) > 100, peaks
+                assert fails["n"] == 0  # the failures actually happened
+            finally:
+                c.close()
+
+    def test_poisoned_render_closes_connections(self):
+        """A persistently-failing fleet closes client connections (EOF) so
+        clients can reconnect elsewhere, instead of starving them until
+        their socket timeouts."""
+        with make_server() as srv:
+            def dead():
+                raise RuntimeError("device gone")
+
+            srv.fleet.render_block = dead
+            c = LiveClient(srv.host, srv.port, timeout=60.0)
+            with pytest.raises(EOFError):
+                for _ in range(100):
+                    c.read_block()
+            c.sock.close()
+
+
 class TestRecording:
     def test_take_is_playing_audio(self, tmp_path):
         """A take captures whole rendered blocks of the lane's stream

@@ -390,6 +390,7 @@ class LiveServer:
         sess = self.fleet.lanes[0]
         block_dt = sess.block_size / self.fleet._sample_rate
         next_deadline = time.monotonic()
+        failures = 0  # consecutive render failures
         while not self._stop.is_set():
             with self._lock:
                 targets = dict(self._clients)
@@ -398,9 +399,35 @@ class LiveServer:
                 time.sleep(0.01)
                 continue
             t0 = time.monotonic()
-            with self._lock:
-                audio = self.fleet.render_block()
-                frame = self.fleet.lanes[0].frame - sess.block_size
+            try:
+                with self._lock:
+                    audio = self.fleet.render_block()
+                    frame = self.fleet.lanes[0].frame - sess.block_size
+            except Exception:  # noqa: BLE001 — the loop must not die silently
+                # A dead render thread starves every client until their
+                # socket timeouts fire. Ride out transient device errors
+                # (the remote tunnel drops sporadically); on persistent
+                # failure close the connections so clients see EOF and can
+                # reconnect elsewhere instead of hanging.
+                import traceback
+
+                failures += 1
+                traceback.print_exc()
+                if failures >= 8:
+                    print("live server: render loop poisoned — "
+                          "closing client connections", flush=True)
+                    with self._lock:
+                        socks = [s for s, _l in self._clients.values()]
+                    for s in socks:
+                        try:
+                            s.close()
+                        except OSError:
+                            pass
+                    self._stop.set()
+                    return
+                time.sleep(0.05 * failures)
+                continue
+            failures = 0
             with self._lock:
                 self._block_times.append(time.monotonic() - t0)
                 if len(self._block_times) > 256:

@@ -119,6 +119,17 @@ end
         with pytest.raises(ValueError, match="spec mismatch"):
             b.restore(blob)
 
+    def test_instrument_config_mismatch_rejected(self):
+        """The fingerprint hashes instrument CONFIG, not just the class:
+        state saved from NiceInstrument(0.3) must not graft onto a
+        NiceInstrument(0.7) session and silently change the sound."""
+        a = make_session()
+        a.render_block()
+        blob = a.snapshot()
+        b = LiveSession([(ti.NiceInstrument(0.7), 3)], SR, BLOCK)
+        with pytest.raises(ValueError, match="spec mismatch"):
+            b.restore(blob)
+
     def test_restore_needs_fresh_target(self):
         a = make_session()
         blob = a.snapshot()

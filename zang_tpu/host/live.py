@@ -156,6 +156,13 @@ class LiveSession:
         nid = None
         if note_ids is not None:
             if down:
+                # re-press of a held key (OS auto-repeat, missed key-up):
+                # release the old note first or its dispatcher slot would
+                # stay note_on forever once the tracked id is overwritten
+                old = note_ids.pop(key, None)
+                if old is not None:
+                    self.push_event(
+                        part, {**params, "note_on": False}, note_id=old)
                 nid = None  # fresh id below
             else:
                 nid = note_ids.pop(key, None)
@@ -384,9 +391,16 @@ class LiveSession:
     # -- snapshot / restore (session migration) -----------------------------
 
     def _spec_fingerprint(self) -> tuple:
+        # the instrument tag hashes CONFIG (public attrs, callables by
+        # bytecode — graph/aotcache.stable_tag), not just the class name:
+        # restoring onto NiceInstrument(0.7) state saved from
+        # NiceInstrument(0.3), or onto a different script, must be refused,
+        # not silently continued with the wrong sound
+        from ..graph import aotcache
+
         return (
             self.sample_rate, self.block_size, self.num_channels,
-            tuple((type(p.instrument).__name__, p.polyphony,
+            tuple((aotcache.stable_tag(p.instrument), p.polyphony,
                    p.planner is not None) for p in self.parts),
             self.post_fn is not None,
         )

@@ -104,16 +104,19 @@ class TerminalPlayer:
         """Backquote behavior: start a server-side take, or stop it.
         Toggles while an ack is in flight are dropped (a duplicate
         record_start is a protocol error that would close the lane)."""
-        with self._lock:
+        with self._lock:  # the lock also serializes socket writes — an
+            # interleaved send from a gate Timer thread would corrupt the
+            # JSON framing
             if self._rec_pending:
                 return
             self._rec_pending = True
-        op = "record_stop" if self.recording_file else "record_start"
-        _send_json(self.client.sock, {"op": op})
+            op = "record_stop" if self.recording_file else "record_start"
+            _send_json(self.client.sock, {"op": op})
         # the ack arrives on the reader thread (_read_loop prints it)
 
     def request_stats(self) -> None:
-        _send_json(self.client.sock, {"op": "stats"})
+        with self._lock:
+            _send_json(self.client.sock, {"op": "stats"})
 
     # -- output -------------------------------------------------------------
 

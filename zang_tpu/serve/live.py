@@ -353,27 +353,46 @@ class LiveFleet:
         fresh = self._states is None
         with self._lock:
             resets, self._pending_reset = self._pending_reset, []
-        if fresh:
-            per_lane = []
-            for s in self.lanes:
+        try:
+            if fresh:
+                per_lane = []
+                for s in self.lanes:
+                    s._ensure_states()
+                    per_lane.append(([p.dev_state for p in s.parts],
+                                     s.post_state))
+                states, posts = zip(*per_lane)
+                self._states = self._lane_shard(jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *states))
+                self._post_state = self._lane_shard(jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *posts))
+                return
+            for i, lane in enumerate(resets):
+                s = self.lanes[lane]
                 s._ensure_states()
-                per_lane.append(([p.dev_state for p in s.parts],
-                                 s.post_state))
-            states, posts = zip(*per_lane)
-            self._states = self._lane_shard(jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *states))
-            self._post_state = self._lane_shard(jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *posts))
-            return
-        for lane in resets:
-            s = self.lanes[lane]
-            s._ensure_states()
-            lane_state = [p.dev_state for p in s.parts]
-            self._states = jax.tree_util.tree_map(
-                lambda acc, x: acc.at[lane].set(x), self._states, lane_state)
-            self._post_state = jax.tree_util.tree_map(
-                lambda acc, x: acc.at[lane].set(x),
-                self._post_state, s.post_state)
+                lane_state = [p.dev_state for p in s.parts]
+                self._states = jax.tree_util.tree_map(
+                    lambda acc, x: acc.at[lane].set(x), self._states,
+                    lane_state)
+                self._post_state = jax.tree_util.tree_map(
+                    lambda acc, x: acc.at[lane].set(x),
+                    self._post_state, s.post_state)
+                resets[i] = None  # applied
+        except BaseException:
+            # a transient device error mid-build (callers may retry the
+            # block) must not silently drop pending resets/restores — the
+            # lane would keep its previous user's device state
+            with self._lock:
+                if fresh:
+                    # partial fresh build: rebuild wholesale on retry (the
+                    # sessions still hold the truth)
+                    self._states = None
+                    self._post_state = None
+                    self._pending_reset = resets + self._pending_reset
+                else:
+                    self._pending_reset = (
+                        [l for l in resets if l is not None]
+                        + self._pending_reset)
+            raise
 
     def _build_step(self, progs_np) -> None:
         """Jit the vmapped per-lane step, specialized to the current prog

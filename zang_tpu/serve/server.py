@@ -179,11 +179,12 @@ class LiveServer:
         with self._lock:
             times = list(self._block_times)
             clients = len(self._clients)
+            seq = self._seq
         med = float(np.median(times)) if times else None
         return {
             "clients": clients,
             "lanes": self.fleet.num_lanes,
-            "blocks_served": self._seq,
+            "blocks_served": seq,
             "block_budget_ms": round(budget * 1e3, 2),
             "block_time_ms": None if med is None else round(med * 1e3, 2),
             "realtime_headroom": None if med is None
@@ -249,10 +250,20 @@ class LiveServer:
                         continue
                     msg = json.loads(line)
                     if msg.get("op") == "restore":
+                        # gate + bound BEFORE buffering the payload: a
+                        # disabled/oversized/negative nbytes must not make
+                        # the server accumulate an attacker-sized buffer or
+                        # desync the line parser
+                        if not self._allow_migration:
+                            raise _ClientError(
+                                "migration disabled (allow_migration)")
+                        need = int(msg["nbytes"])
+                        if not 0 <= need <= 64 << 20:
+                            raise _ClientError(
+                                f"restore nbytes out of range: {need}")
                         # binary payload follows the header line (it may
                         # contain newlines — consume it before resuming
                         # line-oriented parsing)
-                        need = int(msg["nbytes"])
                         while len(buf) < need:
                             chunk = sock.recv(65536)
                             if not chunk:
@@ -288,7 +299,9 @@ class LiveServer:
 
     # -- per-lane recording (recorder.zig's feature at the serving tier) ----
 
-    def _record_start(self, lane: int) -> str:
+    def _record_start(self, lane: int):
+        """Returns (fname, seq): blocks with seq > this are in the take
+        (registration and the seq read share the render loop's lock)."""
         if self._record_dir is None:
             raise _ClientError("recording disabled (no record_dir)")
         os.makedirs(self._record_dir, exist_ok=True)
@@ -297,7 +310,7 @@ class LiveServer:
                 raise _ClientError("already recording")
             fname = f"lane{lane}_seq{self._seq + 1}.wav"
             self._recordings[lane] = (fname, [])
-        return fname
+            return fname, self._seq
 
     def _record_stop(self, lane: int):
         """Write the take; returns (fname, seconds) or None if idle."""
@@ -351,15 +364,16 @@ class LiveServer:
                 with self._lock:
                     self.fleet.restore_lane(lane, msg["_blob"])
                     frame = self.fleet.lanes[lane].frame
-            except ValueError as e:  # spec mismatch etc.
-                raise _ClientError(str(e))
+            except Exception as e:  # noqa: BLE001 — spec mismatch, corrupt
+                # blob (pickle errors are not ValueError): reply, don't drop
+                raise _ClientError(f"restore failed: {e}")
             self._reply(lane, {"op": "restored", "frame": frame})
         elif op == "record_start":
-            fname = self._record_start(lane)
+            fname, seq = self._record_start(lane)
             # seq lets a client wait until the stream passes the take's
             # start (blocks already in its socket buffer predate the take)
             self._reply(lane, {"op": "record_started", "file": fname,
-                               "seq": self._seq})
+                               "seq": seq})
         elif op == "record_stop":
             done = self._record_stop(lane)
             if done is None:
@@ -424,6 +438,10 @@ class LiveServer:
                         except OSError:
                             pass
                     self._stop.set()
+                    # also stop ACCEPTING: a live port that welcomes clients
+                    # and never streams is worse than a refused connection
+                    self._tcp.shutdown()
+                    self._tcp.server_close()
                     return
                 time.sleep(0.05 * failures)
                 continue
@@ -432,8 +450,11 @@ class LiveServer:
                 self._block_times.append(time.monotonic() - t0)
                 if len(self._block_times) > 256:
                     del self._block_times[:-256]
-            self._seq += 1
-            with self._lock:
+                # seq increments atomically with the take appends so a
+                # record_started ack's seq cleanly partitions the stream:
+                # blocks with seq > ack seq are in the take, <= are not
+                self._seq += 1
+                seq = self._seq
                 for lane, (_f, blocks) in self._recordings.items():
                     if len(blocks) < self._max_record_blocks:
                         blocks.append(np.array(audio[lane]))
@@ -441,7 +462,7 @@ class LiveServer:
                 payload = np.ascontiguousarray(audio[lane]).tobytes()
                 try:
                     with send_lock:
-                        _send_json(sock, {"op": "block", "seq": self._seq,
+                        _send_json(sock, {"op": "block", "seq": seq,
                                           "frame": frame,
                                           "nbytes": len(payload)})
                         sock.sendall(payload)

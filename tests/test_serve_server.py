@@ -203,6 +203,85 @@ class TestMigration:
             c.sock.close()
 
 
+def wait_detached(srv, timeout=60.0):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while srv.num_clients:
+        assert time.monotonic() < deadline, "server never noticed disconnect"
+        time.sleep(0.05)
+
+
+class TestResume:
+    def test_unplanned_disconnect_resumes(self):
+        """A network blip (socket dies without a bye) retains the session
+        under the welcome's resume token; reconnecting with it continues
+        the stream — held note still sounding, key tracker intact."""
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            token = c.welcome["resume_token"]
+            c.send_key(0, "q", True)
+            held = max(float(np.abs(c.read_block()).max()) for _ in range(6))
+            assert held > 100
+            c.sock.close()  # blip: no bye frame
+            wait_detached(srv)
+
+            c2 = LiveClient(srv.host, srv.port)
+            try:
+                frame = c2.resume(token)
+                assert frame > 0
+                peaks = [float(np.abs(c2.read_block()).max())
+                         for _ in range(8)]
+                assert max(peaks) > 100, peaks
+                c2.send_key(0, "q", False)
+                for _ in range(30):
+                    last = float(np.abs(c2.read_block()).max())
+                assert last < max(peaks) / 4, (last, peaks)
+            finally:
+                c2.close()
+
+    def test_orderly_bye_not_resumable(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            token = c.welcome["resume_token"]
+            c.read_block()
+            c.close()  # orderly bye — session ends, nothing retained
+            wait_detached(srv)
+            c2 = LiveClient(srv.host, srv.port)
+            import json
+
+            _ = c2.read_block()
+            c2.sock.sendall(
+                json.dumps({"op": "resume", "token": token}).encode() + b"\n")
+            with pytest.raises((RuntimeError, EOFError),
+                               match="(?i)token|closed"):
+                for _ in range(100):
+                    c2.read_block()
+            c2.sock.close()
+
+    def test_token_single_use(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            token = c.welcome["resume_token"]
+            c.send_event(0, {"freq": 440.0, "note_on": True})
+            c.read_block()
+            c.sock.close()
+            wait_detached(srv)
+            c2 = LiveClient(srv.host, srv.port)
+            c2.resume(token)
+            c2.sock.close()  # blip again — retained under C2's OWN token
+            wait_detached(srv)
+            c3 = LiveClient(srv.host, srv.port)
+            import json
+
+            c3.sock.sendall(
+                json.dumps({"op": "resume", "token": token}).encode() + b"\n")
+            with pytest.raises((RuntimeError, EOFError)):
+                for _ in range(100):
+                    c3.read_block()
+            c3.sock.close()
+
+
 class TestResilience:
     def test_transient_render_failure_recovers(self):
         """Sporadic device errors (the remote tunnel drops occasionally)

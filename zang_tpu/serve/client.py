@@ -237,6 +237,9 @@ def main(argv=None) -> int:
                     help="seconds a pressed key stays held (terminals have "
                          "no key-up events)")
     ap.add_argument("--wav", help="also capture the stream to a WAV file")
+    ap.add_argument("--resume", metavar="TOKEN",
+                    help="continue a session dropped by a network blip "
+                         "(the token printed at connect time)")
     args = ap.parse_args(argv)
 
     client = LiveClient(args.host, args.port)
@@ -244,6 +247,12 @@ def main(argv=None) -> int:
     print(f"lane {w['lane']} @ {args.host}:{args.port}  "
           f"block {w['block_size']} / {w['sample_rate']:.0f} Hz "
           f"{w['dtype']}", file=sys.stderr)
+    if w.get("resume_token"):
+        print(f"resume token (reconnect with --resume): "
+              f"{w['resume_token']}", file=sys.stderr)
+    if args.resume:
+        frame = client.resume(args.resume)
+        print(f"resumed session at frame {frame}", file=sys.stderr)
     if not sys.stdin.isatty():
         print("stdin is not a tty — pipe mode: one key per line "
               "(blank line = quit)", file=sys.stderr)

@@ -25,6 +25,10 @@ frames; binary audio payloads):
                                         server-side per-lane WAV capture
                                         (recorder.zig's feature at the
                                         serving tier; needs record_dir)
+    {"op": "resume", "token": T}        continue a dropped session: an
+                                        unplanned disconnect retains the
+                                        lane's state under the welcome's
+                                        resume_token for resume_ttl seconds
     {"op": "snapshot"}                  capture this lane's session state
     {"op": "restore", "nbytes": N}\n + N raw bytes
                                         load a snapshot into this lane —
@@ -36,7 +40,8 @@ frames; binary audio payloads):
 
   server -> client:
     {"op": "welcome", "lane": L, "sample_rate": SR, "block_size": B,
-     "num_channels": C, "dtype": "int16"|"float32"}\n
+     "num_channels": C, "dtype": "int16"|"float32",
+     "resume_token": T}\n
     {"op": "block", "seq": K, "frame": F, "nbytes": NB}\n  + NB raw bytes
         one [C, B] audio block, C-major, little-endian
     {"op": "record_started", "file": ...} / {"op": "record_stopped",
@@ -101,6 +106,8 @@ class LiveServer:
         record_dir: Optional[str] = None,
         max_record_blocks: int = 32768,
         allow_migration: bool = False,
+        resume_ttl: float = 300.0,
+        max_retained: int = 64,
         **fleet_kwargs,
     ) -> None:
         self.fleet = LiveFleet(
@@ -111,6 +118,10 @@ class LiveServer:
         self.send_timeout = float(send_timeout)
         self._dtype = "float32" if pcm16_volume is None else "int16"
         self._allow_migration = bool(allow_migration)
+        self.resume_ttl = float(resume_ttl)
+        self.max_retained = int(max_retained)
+        self._tokens = {}  # lane -> resume token of the connected client
+        self._retained = {}  # token -> (snapshot blob, expiry monotonic)
         self._record_dir = record_dir
         self._max_record_blocks = int(max_record_blocks)
         self._recordings = {}  # lane -> list of [C, B] blocks
@@ -195,6 +206,8 @@ class LiveServer:
     # -- per-client connection --------------------------------------------
 
     def _attach(self, sock):
+        import secrets
+
         with self._lock:
             if len(self._clients) >= self.max_lanes:
                 raise _ClientError(
@@ -209,9 +222,11 @@ class LiveServer:
                 lane = self.fleet.attach_lane()
             send_lock = threading.Lock()
             self._clients[lane] = (sock, send_lock)
-            return lane, send_lock
+            token = secrets.token_hex(16)
+            self._tokens[lane] = token
+            return lane, send_lock, token
 
-    def _detach(self, lane: int) -> None:
+    def _detach(self, lane: int, orderly: bool = True) -> None:
         try:  # a disconnect must not lose an in-progress take
             self._record_stop(lane)
         except Exception:  # noqa: BLE001 — best-effort flush
@@ -219,14 +234,37 @@ class LiveServer:
         with self._lock:
             if self._clients.pop(lane, None) is None:
                 return
+            token = self._tokens.pop(lane, None)
+            if (not orderly and token is not None and self.resume_ttl > 0
+                    and not self._stop.is_set()):
+                # network blip, not a goodbye: retain the session under its
+                # resume token so a reconnecting client can continue it
+                try:
+                    blob = self.fleet.snapshot_lane(lane)
+                    self._retain(token, blob)
+                except Exception:  # noqa: BLE001 — retention is best-effort
+                    pass
             self.fleet.detach_lane(lane)
+
+    def _retain(self, token: str, blob: bytes) -> None:
+        """Store a disconnected lane's snapshot (caller holds the lock);
+        expired entries purge lazily, oldest evict beyond the cap."""
+        now = time.monotonic()
+        self._retained = {
+            t: (b, exp) for t, (b, exp) in self._retained.items()
+            if exp > now
+        }
+        while len(self._retained) >= self.max_retained:
+            self._retained.pop(next(iter(self._retained)))
+        self._retained[token] = (blob, now + self.resume_ttl)
 
     def _serve_client(self, sock) -> None:
         sess = self.fleet.lanes[0]  # spec donor for the welcome frame
         sock.settimeout(self.send_timeout)
         lane = None
+        orderly = False
         try:
-            lane, send_lock = self._attach(sock)
+            lane, send_lock, token = self._attach(sock)
             with send_lock:
                 _send_json(sock, {
                     "op": "welcome", "lane": lane,
@@ -234,6 +272,7 @@ class LiveServer:
                     "block_size": sess.block_size,
                     "num_channels": sess.num_channels,
                     "dtype": self._dtype,
+                    "resume_token": token,
                 })
             buf = b""
             while not self._stop.is_set():
@@ -271,6 +310,7 @@ class LiveServer:
                             buf += chunk
                         msg["_blob"], buf = buf[:need], buf[need:]
                     if self._dispatch(lane, msg):
+                        orderly = True
                         return  # bye
         except _ClientError as e:
             self._send_error(sock, lane, str(e))
@@ -279,7 +319,7 @@ class LiveServer:
             self._send_error(sock, lane, repr(e))
         finally:
             if lane is not None:
-                self._detach(lane)
+                self._detach(lane, orderly=orderly)
             try:
                 sock.close()
             except OSError:
@@ -357,6 +397,20 @@ class LiveServer:
                 blob = self.fleet.snapshot_lane(lane)
             self._reply(lane, {"op": "snapshot", "nbytes": len(blob)},
                         payload=blob)
+        elif op == "resume":
+            tok = str(msg.get("token", ""))
+            now = time.monotonic()
+            with self._lock:
+                entry = self._retained.pop(tok, None)
+            if entry is None or entry[1] <= now:
+                raise _ClientError("unknown or expired resume token")
+            try:
+                with self._lock:
+                    self.fleet.restore_lane(lane, entry[0])
+                    frame = self.fleet.lanes[lane].frame
+            except Exception as e:  # noqa: BLE001
+                raise _ClientError(f"resume failed: {e}")
+            self._reply(lane, {"op": "resumed", "frame": frame})
         elif op == "restore":
             if not self._allow_migration:
                 raise _ClientError("migration disabled (allow_migration)")
@@ -467,7 +521,9 @@ class LiveServer:
                                           "nbytes": len(payload)})
                         sock.sendall(payload)
                 except OSError:
-                    self._detach(lane)  # stalled/dead consumer
+                    # stalled/dead consumer: an unplanned drop, so retain
+                    # the session for a resume
+                    self._detach(lane, orderly=False)
             if self.realtime:
                 next_deadline += block_dt
                 delay = next_deadline - time.monotonic()
@@ -589,6 +645,15 @@ class LiveClient:
         ack = self.read_control()
         assert ack["op"] == "stats", ack
         return ack
+
+    def resume(self, token: str) -> int:
+        """Continue a session dropped by a network blip: the server
+        retained the lane's state under the welcome frame's resume_token
+        for resume_ttl seconds. Returns the restored frame."""
+        _send_json(self.sock, {"op": "resume", "token": token})
+        ack = self.read_control()
+        assert ack["op"] == "resumed", ack
+        return ack["frame"]
 
     def snapshot(self) -> bytes:
         """Capture this lane's full session state (server must allow

@@ -259,6 +259,33 @@ class TestResume:
                     c2.read_block()
             c2.sock.close()
 
+    def test_sessions_survive_server_restart(self, tmp_path):
+        """With a retain_dir, closing the server drains connected sessions
+        to disk; a restarted server (same spec + dir) resumes them by
+        token — mid-phrase, held note intact."""
+        srv1 = make_server(retain_dir=str(tmp_path))
+        srv1.start()
+        c = LiveClient(srv1.host, srv1.port)
+        token = c.welcome["resume_token"]
+        c.send_key(0, "q", True)
+        held = max(float(np.abs(c.read_block()).max()) for _ in range(6))
+        assert held > 100
+        srv1.close()  # restart begins: drain to disk
+        c.sock.close()
+        assert list(tmp_path.glob("*.session"))
+
+        with make_server(retain_dir=str(tmp_path)) as srv2:
+            c2 = LiveClient(srv2.host, srv2.port)
+            try:
+                frame = c2.resume(token)
+                assert frame > 0
+                peaks = [float(np.abs(c2.read_block()).max())
+                         for _ in range(8)]
+                assert max(peaks) > 100, peaks
+            finally:
+                c2.close()
+        assert not list(tmp_path.glob(f"{token}.session"))  # single-use
+
     def test_token_single_use(self):
         with make_server() as srv:
             c = LiveClient(srv.host, srv.port)

@@ -108,6 +108,7 @@ class LiveServer:
         allow_migration: bool = False,
         resume_ttl: float = 300.0,
         max_retained: int = 64,
+        retain_dir: Optional[str] = None,
         **fleet_kwargs,
     ) -> None:
         self.fleet = LiveFleet(
@@ -120,7 +121,10 @@ class LiveServer:
         self._allow_migration = bool(allow_migration)
         self.resume_ttl = float(resume_ttl)
         self.max_retained = int(max_retained)
+        self._retain_dir = retain_dir  # also persist snapshots to disk:
+        # resume tokens survive a server RESTART (same instrument spec)
         self._tokens = {}  # lane -> resume token of the connected client
+        self._goodbyes = set()  # lanes whose client said bye (don't retain)
         self._retained = {}  # token -> (snapshot blob, expiry monotonic)
         self._record_dir = record_dir
         self._max_record_blocks = int(max_record_blocks)
@@ -160,6 +164,15 @@ class LiveServer:
         if self._render_thread is not None:
             self._render_thread.join(timeout=30.0)
         with self._lock:
+            if self._retain_dir is not None:
+                # drain: persist every connected session so a restarted
+                # server (same spec + retain_dir) resumes them by token
+                for lane, tok in list(self._tokens.items()):
+                    if lane in self._clients:
+                        try:
+                            self._retain(tok, self.fleet.snapshot_lane(lane))
+                        except Exception:  # noqa: BLE001 — best-effort
+                            pass
             for sock, _slock in list(self._clients.values()):
                 try:
                     sock.close()
@@ -222,6 +235,7 @@ class LiveServer:
                 lane = self.fleet.attach_lane()
             send_lock = threading.Lock()
             self._clients[lane] = (sock, send_lock)
+            self._goodbyes.discard(lane)
             token = secrets.token_hex(16)
             self._tokens[lane] = token
             return lane, send_lock, token
@@ -235,6 +249,10 @@ class LiveServer:
             if self._clients.pop(lane, None) is None:
                 return
             token = self._tokens.pop(lane, None)
+            # "orderly" can be reported by EITHER closer: the reader thread
+            # (processed the bye) or the render loop (hit the closing
+            # socket first) — the goodbye marker makes them agree
+            orderly = orderly or lane in self._goodbyes
             if (not orderly and token is not None and self.resume_ttl > 0
                     and not self._stop.is_set()):
                 # network blip, not a goodbye: retain the session under its
@@ -257,6 +275,51 @@ class LiveServer:
         while len(self._retained) >= self.max_retained:
             self._retained.pop(next(iter(self._retained)))
         self._retained[token] = (blob, now + self.resume_ttl)
+        if self._retain_dir is not None:
+            try:
+                os.makedirs(self._retain_dir, exist_ok=True)
+                files = sorted(
+                    (p for p in os.listdir(self._retain_dir)
+                     if p.endswith(".session")),
+                    key=lambda p: os.path.getmtime(
+                        os.path.join(self._retain_dir, p)))
+                while len(files) >= self.max_retained:
+                    os.unlink(os.path.join(self._retain_dir, files.pop(0)))
+                with open(os.path.join(self._retain_dir,
+                                       f"{token}.session"), "wb") as f:
+                    f.write(blob)
+            except OSError:  # retention is best-effort
+                pass
+
+    def _take_retained(self, token: str) -> Optional[bytes]:
+        """Pop a retained snapshot by token — memory first, then the
+        retain_dir (tokens survive server restarts; file age vs
+        resume_ttl). Single-use either way."""
+        now = time.monotonic()
+        with self._lock:
+            entry = self._retained.pop(token, None)
+        path = (os.path.join(self._retain_dir, f"{token}.session")
+                if self._retain_dir is not None and token
+                and all(c in "0123456789abcdef" for c in token) else None)
+        if entry is not None and entry[1] > now:
+            if path is not None:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            return entry[0]
+        if path is not None:
+            try:
+                age = time.time() - os.path.getmtime(path)
+                if age <= self.resume_ttl:
+                    with open(path, "rb") as f:
+                        blob = f.read()
+                    os.unlink(path)
+                    return blob
+                os.unlink(path)  # expired
+            except OSError:
+                pass
+        return None
 
     def _serve_client(self, sock) -> None:
         sess = self.fleet.lanes[0]  # spec donor for the welcome frame
@@ -398,15 +461,12 @@ class LiveServer:
             self._reply(lane, {"op": "snapshot", "nbytes": len(blob)},
                         payload=blob)
         elif op == "resume":
-            tok = str(msg.get("token", ""))
-            now = time.monotonic()
-            with self._lock:
-                entry = self._retained.pop(tok, None)
-            if entry is None or entry[1] <= now:
+            blob = self._take_retained(str(msg.get("token", "")))
+            if blob is None:
                 raise _ClientError("unknown or expired resume token")
             try:
                 with self._lock:
-                    self.fleet.restore_lane(lane, entry[0])
+                    self.fleet.restore_lane(lane, blob)
                     frame = self.fleet.lanes[lane].frame
             except Exception as e:  # noqa: BLE001
                 raise _ClientError(f"resume failed: {e}")
@@ -435,6 +495,8 @@ class LiveServer:
             self._reply(lane, {"op": "record_stopped", "file": done[0],
                                "seconds": done[1]})
         elif op == "bye":
+            with self._lock:
+                self._goodbyes.add(lane)
             return True
         elif op != "hello":  # hello is answered by the welcome frame
             raise _ClientError(f"unknown op {op!r}")

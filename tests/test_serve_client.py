@@ -99,6 +99,27 @@ class TestTerminalPlayer:
                 assert player.last_stats["block_time_ms"] > 0
 
 
+class TestAutoResume:
+    def test_stream_continues_after_blip(self):
+        """Killing the socket mid-stream triggers reconnect+resume on the
+        reader thread; the block stream continues on the new connection."""
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, quiet=True,
+                                auto_resume=(srv.host, srv.port)) as player:
+                player.press("q")
+                wait_blocks(player, 6)
+                player.client.sock.close()  # simulated network blip
+                deadline = time.monotonic() + 60
+                while player.resumes == 0:
+                    assert time.monotonic() < deadline, "never resumed"
+                    assert not player._stop.is_set(), "player gave up"
+                    time.sleep(0.05)
+                wait_blocks(player, 10)  # flowing again
+                player.press("z")  # input path works on the new connection
+                wait_blocks(player, 5)
+
+
 class TestPipeModeCLI:
     def test_main_pipe_mode(self, tmp_path, monkeypatch):
         """main() with non-tty stdin: one key per line, then quit; the

@@ -47,11 +47,17 @@ class TerminalPlayer:
         gate: float = 0.3,
         wav_path: Optional[str] = None,
         quiet: bool = False,
+        auto_resume: Optional[tuple] = None,
     ) -> None:
         self.client = client
         self.part = int(part)
         self.gate = float(gate)
         self.quiet = quiet
+        # (host, port): on a dropped connection, reconnect and resume the
+        # session with the welcome frame's token (servers retain blipped
+        # sessions for resume_ttl seconds)
+        self.auto_resume = auto_resume
+        self.resumes = 0
         self.blocks_received = 0
         self.level = 0.0  # peak of the last block, 0..1
         self.recording_file: Optional[str] = None
@@ -73,13 +79,18 @@ class TerminalPlayer:
     # -- input --------------------------------------------------------------
 
     def press(self, key: str) -> None:
-        """Key-down now, auto-release after the gate (retrigger if held)."""
+        """Key-down now, auto-release after the gate (retrigger if held).
+        Events during a connection outage are dropped (MIDI discipline) —
+        the reader thread handles reconnection."""
         with self._lock:
-            t = self._timers.pop(key, None)
-            if t is not None:
-                t.cancel()
-                self.client.send_key(self.part, key, False)
-            self.client.send_key(self.part, key, True)
+            try:
+                t = self._timers.pop(key, None)
+                if t is not None:
+                    t.cancel()
+                    self.client.send_key(self.part, key, False)
+                self.client.send_key(self.part, key, True)
+            except OSError:
+                return
             timer = threading.Timer(self.gate, self._auto_release, (key,))
             timer.daemon = True
             self._timers[key] = timer
@@ -90,7 +101,10 @@ class TerminalPlayer:
             t = self._timers.pop(key, None)
             if t is not None:
                 t.cancel()
-                self.client.send_key(self.part, key, False)
+                try:
+                    self.client.send_key(self.part, key, False)
+                except OSError:
+                    pass
 
     def _auto_release(self, key: str) -> None:
         with self._lock:
@@ -121,43 +135,77 @@ class TerminalPlayer:
     # -- output -------------------------------------------------------------
 
     def _read_loop(self) -> None:
-        last_vu = 0.0
-        try:
-            while not self._stop.is_set():
-                kind, v = self.client._next_frame()
-                if kind == "block":
-                    self.blocks_received += 1
-                    self.level = float(np.abs(v).max()) / self._full_scale
-                    if self._wav is not None:
-                        with self._lock:
-                            if self._wav is not None:
-                                self._wav.append(self._to_i16(v))
-                    now = time.monotonic()
-                    if not self.quiet and now - last_vu > 0.1:
-                        last_vu = now
-                        self._print_vu()
-                elif kind == "record_started":
-                    with self._lock:
-                        self.recording_file = v["file"]
-                        self._rec_pending = False
-                    self._note(f"recording -> {v['file']}")
-                elif kind == "record_stopped":
-                    with self._lock:
-                        self.recording_file = None
-                        self._rec_pending = False
-                    self._note(
-                        f"take saved: {v['file']} ({v['seconds']:.2f}s)")
-                elif kind == "stats":
-                    self.last_stats = v
-                    self._note(
-                        f"lanes {v['lanes']} clients {v['clients']} "
-                        f"block {v['block_time_ms']}ms / "
-                        f"budget {v['block_budget_ms']}ms "
-                        f"(headroom {v['realtime_headroom']}x)")
-        except (EOFError, OSError, RuntimeError) as e:
-            if not self._stop.is_set():
+        while not self._stop.is_set():
+            try:
+                self._read_frames()
+                return
+            except (EOFError, OSError, RuntimeError) as e:
+                if self._stop.is_set():
+                    return
+                if self.auto_resume is not None and self._reconnect():
+                    continue  # keep reading on the new connection
                 self._note(f"server closed: {e}")
                 self._stop.set()
+                return
+
+    def _read_frames(self) -> None:
+        last_vu = 0.0
+        while not self._stop.is_set():
+            kind, v = self.client._next_frame()
+            if kind == "block":
+                self.blocks_received += 1
+                self.level = float(np.abs(v).max()) / self._full_scale
+                if self._wav is not None:
+                    with self._lock:
+                        if self._wav is not None:
+                            self._wav.append(self._to_i16(v))
+                now = time.monotonic()
+                if not self.quiet and now - last_vu > 0.1:
+                    last_vu = now
+                    self._print_vu()
+            elif kind == "record_started":
+                with self._lock:
+                    self.recording_file = v["file"]
+                    self._rec_pending = False
+                self._note(f"recording -> {v['file']}")
+            elif kind == "record_stopped":
+                with self._lock:
+                    self.recording_file = None
+                    self._rec_pending = False
+                self._note(
+                    f"take saved: {v['file']} ({v['seconds']:.2f}s)")
+            elif kind == "stats":
+                self.last_stats = v
+                self._note(
+                    f"lanes {v['lanes']} clients {v['clients']} "
+                    f"block {v['block_time_ms']}ms / "
+                    f"budget {v['block_budget_ms']}ms "
+                    f"(headroom {v['realtime_headroom']}x)")
+
+    def _reconnect(self) -> bool:
+        """Reconnect and resume the session after a dropped connection
+        (up to 3 attempts with backoff). Returns True on success."""
+        host, port = self.auto_resume
+        token = self.client.welcome.get("resume_token")
+        if not token:
+            return False
+        for attempt in range(3):
+            time.sleep(0.2 * (attempt + 1))
+            try:
+                fresh = LiveClient(host, port)
+                frame = fresh.resume(token)
+            except (OSError, EOFError, RuntimeError, AssertionError):
+                continue
+            with self._lock:
+                try:
+                    self.client.sock.close()
+                except OSError:
+                    pass
+                self.client = fresh
+                self.resumes += 1
+            self._note(f"connection dropped — resumed at frame {frame}")
+            return True
+        return False
 
     def _to_i16(self, block: np.ndarray) -> np.ndarray:
         if block.dtype == np.int16:
@@ -257,7 +305,8 @@ def main(argv=None) -> int:
         print("stdin is not a tty — pipe mode: one key per line "
               "(blank line = quit)", file=sys.stderr)
     with TerminalPlayer(client, part=args.part, gate=args.gate,
-                        wav_path=args.wav) as player:
+                        wav_path=args.wav,
+                        auto_resume=(args.host, args.port)) as player:
         try:
             if sys.stdin.isatty():
                 for ch in _stdin_keys():

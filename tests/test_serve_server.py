@@ -20,6 +20,29 @@ def make_server(**kw):
                       port=0, **kw)
 
 
+def read_until_audible(c, max_blocks=200):
+    """Peak of the first audible block. In non-realtime mode the free-
+    running server may render many silent blocks before a just-sent event
+    lands (warm jit races ahead of the client's sends), so a fixed small
+    read count is flaky — scan forward instead."""
+    for _ in range(max_blocks):
+        p = float(np.abs(c.read_block()).max())
+        if p > 100:
+            return p
+    raise AssertionError(f"no audible block within {max_blocks}")
+
+
+def read_until_quiet(c, threshold, max_blocks=400):
+    """Scan until the stream decays below threshold (a release landing is
+    itself subject to the free-run race, so fixed read counts flake)."""
+    last = None
+    for _ in range(max_blocks):
+        last = float(np.abs(c.read_block()).max())
+        if last < threshold:
+            return last
+    raise AssertionError(f"never decayed below {threshold}: last {last}")
+
+
 class TestProtocol:
     def test_welcome_and_audio_flow(self):
         with make_server() as srv:
@@ -29,10 +52,7 @@ class TestProtocol:
                 assert c.welcome["block_size"] == BLOCK
                 assert c.welcome["dtype"] == "int16"
                 c.send_event(0, {"freq": 440.0, "note_on": True})
-                # the event lands at the next block boundary; within a few
-                # blocks the note must be audible
-                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
-                assert max(peaks) > 100, peaks
+                assert read_until_audible(c) > 100
             finally:
                 c.close()
 
@@ -45,11 +65,14 @@ class TestProtocol:
             try:
                 assert a.welcome["lane"] != b.welcome["lane"]
                 a.send_event(0, {"freq": 330.0, "note_on": True})
-                peaks_a, peaks_b = [], []
-                for _ in range(4):
-                    peaks_a.append(np.abs(a.read_block()).max())
-                    peaks_b.append(np.abs(b.read_block()).max())
-                assert max(peaks_a) > 100, peaks_a
+                # scan A forward to its note, counting blocks; B's stream
+                # over the same span must be pure silence
+                n = 0
+                while float(np.abs(a.read_block()).max()) <= 100:
+                    n += 1
+                    assert n < 200, "A never became audible"
+                peaks_b = [float(np.abs(b.read_block()).max())
+                           for _ in range(n + 4)]
                 assert max(peaks_b) == 0, peaks_b
             finally:
                 a.close()
@@ -75,8 +98,7 @@ class TestProtocol:
             c = LiveClient(srv.host, srv.port)
             try:
                 c.send_key(0, "q", True)
-                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
-                assert max(peaks) > 100, peaks
+                assert read_until_audible(c) > 100
             finally:
                 c.close()
 
@@ -89,14 +111,9 @@ class TestProtocol:
             c = LiveClient(srv.host, srv.port)
             try:
                 c.send_key(0, "q", True)
-                held_peak = max(
-                    float(np.abs(c.read_block()).max()) for _ in range(6))
-                assert held_peak > 100
+                held_peak = read_until_audible(c)
                 c.send_key(0, "q", False)
-                last = 0.0
-                for _ in range(30):  # release tail decays over ~0.6 s
-                    last = float(np.abs(c.read_block()).max())
-                assert last < held_peak / 4, (last, held_peak)
+                read_until_quiet(c, held_peak / 4)
             finally:
                 c.close()
 
@@ -151,8 +168,7 @@ end
             c = LiveClient(srv.host, srv.port)
             try:
                 c.send_event(0, {"freq": 440.0, "note_on": True})
-                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
-                assert max(peaks) > 100, peaks
+                assert read_until_audible(c) > 100
             finally:
                 c.close()
 
@@ -167,9 +183,7 @@ class TestMigration:
             ca = LiveClient(a_srv.host, a_srv.port)
             try:
                 ca.send_key(0, "q", True)
-                held = max(
-                    float(np.abs(ca.read_block()).max()) for _ in range(6))
-                assert held > 100
+                held = read_until_audible(ca)
                 blob = ca.snapshot()
                 assert len(blob) > 100
             finally:
@@ -185,9 +199,7 @@ class TestMigration:
                 assert max(peaks) > 100, peaks
                 # and releases through the migrated key tracker
                 cb.send_key(0, "q", False)
-                for _ in range(30):
-                    last = float(np.abs(cb.read_block()).max())
-                assert last < max(peaks) / 4, (last, peaks)
+                read_until_quiet(cb, max(peaks) / 4)
             finally:
                 cb.close()
 
@@ -221,8 +233,7 @@ class TestResume:
             c = LiveClient(srv.host, srv.port)
             token = c.welcome["resume_token"]
             c.send_key(0, "q", True)
-            held = max(float(np.abs(c.read_block()).max()) for _ in range(6))
-            assert held > 100
+            held = read_until_audible(c)
             c.sock.close()  # blip: no bye frame
             wait_detached(srv)
 
@@ -234,9 +245,7 @@ class TestResume:
                          for _ in range(8)]
                 assert max(peaks) > 100, peaks
                 c2.send_key(0, "q", False)
-                for _ in range(30):
-                    last = float(np.abs(c2.read_block()).max())
-                assert last < max(peaks) / 4, (last, peaks)
+                read_until_quiet(c2, max(peaks) / 4)
             finally:
                 c2.close()
 
@@ -268,8 +277,7 @@ class TestResume:
         c = LiveClient(srv1.host, srv1.port)
         token = c.welcome["resume_token"]
         c.send_key(0, "q", True)
-        held = max(float(np.abs(c.read_block()).max()) for _ in range(6))
-        assert held > 100
+        held = read_until_audible(c)
         srv1.close()  # restart begins: drain to disk
         c.sock.close()
         assert list(tmp_path.glob("*.session"))
@@ -327,8 +335,7 @@ class TestResilience:
             c = LiveClient(srv.host, srv.port)
             try:
                 c.send_event(0, {"freq": 440.0, "note_on": True})
-                peaks = [np.abs(c.read_block()).max() for _ in range(4)]
-                assert max(peaks) > 100, peaks
+                assert read_until_audible(c) > 100
                 assert fails["n"] == 0  # the failures actually happened
             finally:
                 c.close()
@@ -436,8 +443,7 @@ class TestLifecycle:
                     LiveClient(srv.host, srv.port)
                 # the first client keeps streaming fine
                 a.send_event(0, {"freq": 440.0, "note_on": True})
-                peaks = [np.abs(a.read_block()).max() for _ in range(4)]
-                assert max(peaks) > 100
+                assert read_until_audible(a) > 100
             finally:
                 a.close()
 
@@ -450,10 +456,10 @@ class TestLifecycle:
                 lanes = {c.welcome["lane"] for c in clients}
                 assert len(lanes) == 3
                 clients[2].send_event(0, {"freq": 550.0, "note_on": True})
-                for c in clients:
-                    peaks = [np.abs(c.read_block()).max() for _ in range(4)]
-                    if c is clients[2]:
-                        assert max(peaks) > 100
+                assert read_until_audible(clients[2]) > 100
+                for c in clients[:2]:  # others keep streaming fine
+                    for _ in range(4):
+                        c.read_block()
             finally:
                 for c in clients:
                     c.close()

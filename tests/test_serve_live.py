@@ -265,6 +265,33 @@ class TestFleetOps:
         assert fleet.lanes[1].frame == BLOCK
         assert fleet.lanes[0].frame == 4 * BLOCK
 
+    def test_pending_reset_survives_transient_error(self):
+        """A device error during the reset insertion must re-queue the
+        reset: the retrying caller's next block must NOT leave the lane
+        with its previous user's stacked state (review finding: the old
+        code popped _pending_reset before applying it)."""
+        fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
+                          block_size=BLOCK)
+        fleet.push_event(0, 0, {"freq": 330.0, "note_on": True})
+        fleet.render_block()
+        assert np.abs(fleet.render_block()[0]).max() > 1e-4
+        fleet.reset_lane(0)
+        orig = fleet.lanes[0]._ensure_states
+        calls = {"n": 0}
+
+        def flaky():
+            if calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("transient device error")
+            return orig()
+
+        fleet.lanes[0]._ensure_states = flaky
+        with pytest.raises(RuntimeError, match="transient"):
+            fleet.render_block()
+        out = fleet.render_block()  # retry: the reset must still apply
+        assert calls["n"] == 1
+        assert np.abs(out[0]).max() < 1e-6, "lane kept its old state"
+
     def test_capacity_growth_is_fleet_wide(self):
         fleet = LiveFleet(lambda: [(ti.NiceInstrument(0.3), 2)], 2, SR,
                           block_size=BLOCK, slot_capacity=2)

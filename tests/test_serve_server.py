@@ -294,6 +294,25 @@ class TestResume:
                 c2.close()
         assert not list(tmp_path.glob(f"{token}.session"))  # single-use
 
+    def test_probe_connections_not_retained(self):
+        """Connections that never play (health checks, scanners, protocol
+        errors) must not occupy the bounded retention store — junk
+        retention would evict real blipped sessions."""
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            c.sock.close()  # abrupt, eventless disconnect
+            wait_detached(srv)
+            import json
+
+            c2 = LiveClient(srv.host, srv.port)
+            c2.sock.sendall(b"this is not json\n")  # protocol error path
+            with pytest.raises((RuntimeError, EOFError)):
+                for _ in range(100):
+                    c2.read_block()
+            c2.sock.close()
+            wait_detached(srv)
+            assert not srv._retained
+
     def test_token_single_use(self):
         with make_server() as srv:
             c = LiveClient(srv.host, srv.port)

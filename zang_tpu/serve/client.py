@@ -123,14 +123,20 @@ class TerminalPlayer:
             # JSON framing
             if self._rec_pending:
                 return
-            self._rec_pending = True
             op = "record_stop" if self.recording_file else "record_start"
-            _send_json(self.client.sock, {"op": op})
+            try:
+                _send_json(self.client.sock, {"op": op})
+            except OSError:  # outage: drop the toggle, reader reconnects
+                return
+            self._rec_pending = True
         # the ack arrives on the reader thread (_read_loop prints it)
 
     def request_stats(self) -> None:
         with self._lock:
-            _send_json(self.client.sock, {"op": "stats"})
+            try:
+                _send_json(self.client.sock, {"op": "stats"})
+            except OSError:
+                pass
 
     # -- output -------------------------------------------------------------
 
@@ -151,7 +157,18 @@ class TerminalPlayer:
     def _read_frames(self) -> None:
         last_vu = 0.0
         while not self._stop.is_set():
-            kind, v = self.client._next_frame()
+            # frames can queue INSIDE the LiveClient while resume()/
+            # read_control() scans for an ack (blocks start streaming right
+            # after the welcome) — drain those first or they'd be silently
+            # dropped (gaps in the WAV capture) after a reconnect
+            c = self.client
+            if c._pending_blocks:
+                kind, v = "block", c._pending_blocks.pop(0)
+            elif c._pending_ctrl:
+                v = c._pending_ctrl.pop(0)
+                kind = v.get("op")
+            else:
+                kind, v = c._next_frame()
             if kind == "block":
                 self.blocks_received += 1
                 self.level = float(np.abs(v).max()) / self._full_scale
@@ -183,20 +200,40 @@ class TerminalPlayer:
                     f"(headroom {v['realtime_headroom']}x)")
 
     def _reconnect(self) -> bool:
-        """Reconnect and resume the session after a dropped connection
-        (up to 3 attempts with backoff). Returns True on success."""
+        """Reconnect and resume the session after a dropped connection.
+        Returns True on success.
+
+        The backoff must outlast the SERVER's blip detection: on an
+        asymmetric drop the server only retains the session once its block
+        send fails (socket buffer fill + send_timeout — seconds), so early
+        attempts legitimately see 'unknown token' and must keep trying."""
         host, port = self.auto_resume
         token = self.client.welcome.get("resume_token")
         if not token:
             return False
-        for attempt in range(3):
-            time.sleep(0.2 * (attempt + 1))
+        for attempt in range(6):  # ~0.25..8 s, ~16 s total
+            time.sleep(min(0.25 * 2 ** attempt, 8.0))
+            if self._stop.is_set():
+                return False
+            fresh = None
             try:
-                fresh = LiveClient(host, port)
+                fresh = LiveClient(host, port, timeout=10.0)
+                fresh.sock.settimeout(300.0)  # normal read timeout
                 frame = fresh.resume(token)
             except (OSError, EOFError, RuntimeError, AssertionError):
+                if fresh is not None:
+                    try:
+                        fresh.sock.close()
+                    except OSError:
+                        pass
                 continue
             with self._lock:
+                if self._stop.is_set():  # stop() won while we reconnected
+                    try:
+                        fresh.close()
+                    except OSError:
+                        pass
+                    return False
                 try:
                     self.client.sock.close()
                 except OSError:

@@ -167,10 +167,15 @@ class LiveServer:
             if self._retain_dir is not None:
                 # drain: persist every connected session so a restarted
                 # server (same spec + retain_dir) resumes them by token
+                # (readers racing this under _stop persist their own lanes
+                # via _detach — both paths are idempotent per lane)
                 for lane, tok in list(self._tokens.items()):
-                    if lane in self._clients:
+                    if lane in self._clients and self._session_has_activity(
+                            self.fleet.lanes[lane]):
                         try:
-                            self._retain(tok, self.fleet.snapshot_lane(lane))
+                            blob = self.fleet.snapshot_lane(lane)
+                            self._retain_mem(tok, blob)
+                            self._retain_disk(tok, blob)
                         except Exception:  # noqa: BLE001 — best-effort
                             pass
             for sock, _slock in list(self._clients.values()):
@@ -240,33 +245,53 @@ class LiveServer:
             self._tokens[lane] = token
             return lane, send_lock, token
 
+    @staticmethod
+    def _session_has_activity(sess) -> bool:
+        """True if the lane ever received an event. Probe connections
+        (health checks, port scans, protocol errors) never push events;
+        retaining their fresh lanes would evict real blipped sessions
+        from the bounded store."""
+        return any(p.segs[v] or len(p.queue._impulses)
+                   for p in sess.parts for v in range(p.polyphony))
+
     def _detach(self, lane: int, orderly: bool = True) -> None:
         try:  # a disconnect must not lose an in-progress take
             self._record_stop(lane)
         except Exception:  # noqa: BLE001 — best-effort flush
             pass
+        retained = None
         with self._lock:
             if self._clients.pop(lane, None) is None:
                 return
             token = self._tokens.pop(lane, None)
             # "orderly" can be reported by EITHER closer: the reader thread
             # (processed the bye) or the render loop (hit the closing
-            # socket first) — the goodbye marker makes them agree
+            # socket first) — the goodbye marker makes them agree. During
+            # shutdown (stop set), retention still happens when retain_dir
+            # is configured: readers racing close()'s drain must not lose
+            # sessions the drain promised to persist.
             orderly = orderly or lane in self._goodbyes
             if (not orderly and token is not None and self.resume_ttl > 0
-                    and not self._stop.is_set()):
+                    and (not self._stop.is_set()
+                         or self._retain_dir is not None)
+                    and self._session_has_activity(self.fleet.lanes[lane])):
                 # network blip, not a goodbye: retain the session under its
                 # resume token so a reconnecting client can continue it
                 try:
                     blob = self.fleet.snapshot_lane(lane)
-                    self._retain(token, blob)
+                    self._retain_mem(token, blob)
+                    retained = (token, blob)
                 except Exception:  # noqa: BLE001 — retention is best-effort
                     pass
             self.fleet.detach_lane(lane)
+        if retained is not None:
+            # disk write OUTSIDE the lock: a slow disk must not stall the
+            # render loop (which needs the lock for every fleet block)
+            self._retain_disk(*retained)
 
-    def _retain(self, token: str, blob: bytes) -> None:
-        """Store a disconnected lane's snapshot (caller holds the lock);
-        expired entries purge lazily, oldest evict beyond the cap."""
+    def _retain_mem(self, token: str, blob: bytes) -> None:
+        """In-memory retention (caller holds the lock); expired entries
+        purge lazily, oldest evict beyond the cap."""
         now = time.monotonic()
         self._retained = {
             t: (b, exp) for t, (b, exp) in self._retained.items()
@@ -275,48 +300,64 @@ class LiveServer:
         while len(self._retained) >= self.max_retained:
             self._retained.pop(next(iter(self._retained)))
         self._retained[token] = (blob, now + self.resume_ttl)
-        if self._retain_dir is not None:
-            try:
-                os.makedirs(self._retain_dir, exist_ok=True)
-                files = sorted(
-                    (p for p in os.listdir(self._retain_dir)
-                     if p.endswith(".session")),
-                    key=lambda p: os.path.getmtime(
-                        os.path.join(self._retain_dir, p)))
-                while len(files) >= self.max_retained:
-                    os.unlink(os.path.join(self._retain_dir, files.pop(0)))
-                with open(os.path.join(self._retain_dir,
-                                       f"{token}.session"), "wb") as f:
-                    f.write(blob)
-            except OSError:  # retention is best-effort
-                pass
+
+    def _retain_disk(self, token: str, blob: bytes) -> None:
+        if self._retain_dir is None:
+            return
+        try:
+            os.makedirs(self._retain_dir, exist_ok=True)
+            files = sorted(
+                (p for p in os.listdir(self._retain_dir)
+                 if p.endswith(".session")),
+                key=lambda p: os.path.getmtime(
+                    os.path.join(self._retain_dir, p)))
+            while len(files) >= self.max_retained:
+                os.unlink(os.path.join(self._retain_dir, files.pop(0)))
+            with open(os.path.join(self._retain_dir,
+                                   f"{token}.session"), "wb") as f:
+                f.write(blob)
+        except OSError:  # retention is best-effort
+            pass
+
+    def _claim_session_file(self, token: str) -> Optional[str]:
+        """Atomically claim a token's .session file (rename wins/loses
+        cleanly under concurrent resumes). Returns the claimed path."""
+        if (self._retain_dir is None or not token
+                or any(c not in "0123456789abcdef" for c in token)):
+            return None
+        path = os.path.join(self._retain_dir, f"{token}.session")
+        claimed = f"{path}.claim{threading.get_ident()}"
+        try:
+            os.rename(path, claimed)
+            return claimed
+        except OSError:
+            return None
 
     def _take_retained(self, token: str) -> Optional[bytes]:
         """Pop a retained snapshot by token — memory first, then the
         retain_dir (tokens survive server restarts; file age vs
-        resume_ttl). Single-use either way."""
+        resume_ttl). Single-use, including under concurrent resumes:
+        the memory pop and the file rename are each atomic claims."""
         now = time.monotonic()
         with self._lock:
             entry = self._retained.pop(token, None)
-        path = (os.path.join(self._retain_dir, f"{token}.session")
-                if self._retain_dir is not None and token
-                and all(c in "0123456789abcdef" for c in token) else None)
+        claimed = self._claim_session_file(token)
         if entry is not None and entry[1] > now:
-            if path is not None:
+            if claimed is not None:
                 try:
-                    os.unlink(path)
+                    os.unlink(claimed)
                 except OSError:
                     pass
             return entry[0]
-        if path is not None:
+        if claimed is not None:
             try:
-                age = time.time() - os.path.getmtime(path)
+                age = time.time() - os.path.getmtime(claimed)
+                blob = None
                 if age <= self.resume_ttl:
-                    with open(path, "rb") as f:
+                    with open(claimed, "rb") as f:
                         blob = f.read()
-                    os.unlink(path)
-                    return blob
-                os.unlink(path)  # expired
+                os.unlink(claimed)
+                return blob
             except OSError:
                 pass
         return None

@@ -64,16 +64,24 @@ def _timed(jrun, args):
     return time.time() - t0
 
 
-def _first_run(jrun, args):
-    """Compile + first execution, retrying the one known-transient axon
-    error (FAILED_PRECONDITION on fresh processes). Anything else raises."""
-    for attempt in range(3):
+# transient axon tunnel errors worth retrying: FAILED_PRECONDITION shows
+# up sporadically on fresh processes; UNAVAILABLE ("TPU backend
+# setup/compile error") during tunnel flaps (observed as a multi-hour
+# outage on 2026-08-18 — retries ride out the flapping edges of one)
+_TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE")
+
+
+def _first_run(jrun, args, attempts=4):
+    """Compile + first execution, retrying known-transient axon errors
+    with backoff. Anything else raises."""
+    for attempt in range(attempts):
         try:
             return float(jrun(*args))
         except Exception as e:  # noqa: BLE001 — filtered by message below
-            if attempt == 2 or "FAILED_PRECONDITION" not in repr(e):
+            if (attempt == attempts - 1
+                    or not any(t in repr(e) for t in _TRANSIENT)):
                 raise
-            time.sleep(5)
+            time.sleep(5 * (attempt + 1))
 
 
 def emit(metric, value, unit, vs_baseline):

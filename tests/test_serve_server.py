@@ -454,6 +454,29 @@ class TestLifecycle:
             finally:
                 b.close()
 
+    def test_stale_detach_cannot_kill_reused_lane(self):
+        """The render loop's targets snapshot can hit a dead socket AFTER
+        its lane was detached and re-claimed by a new client; the stale
+        OSError detach must not release the new client's lane (it would
+        starve until its read timeout — the intermittent lifecycle flake)."""
+        with make_server(initial_lanes=1, max_lanes=1) as srv:
+            a = LiveClient(srv.host, srv.port)
+            lane = a.welcome["lane"]
+            a.read_block()
+            with srv._lock:
+                stale_sock = srv._clients[lane][0]
+            a.close()
+            wait_detached(srv)
+            b = LiveClient(srv.host, srv.port)
+            try:
+                assert b.welcome["lane"] == lane  # slot reused
+                # replay the race: a stale detach with A's old socket
+                srv._detach(lane, orderly=False, expected_sock=stale_sock)
+                assert srv.num_clients == 1  # B untouched
+                b.read_block()  # still streaming
+            finally:
+                b.close()
+
     def test_server_full_refused(self):
         with make_server(initial_lanes=1, max_lanes=1) as srv:
             a = LiveClient(srv.host, srv.port)

@@ -254,15 +254,22 @@ class LiveServer:
         return any(p.segs[v] or len(p.queue._impulses)
                    for p in sess.parts for v in range(p.polyphony))
 
-    def _detach(self, lane: int, orderly: bool = True) -> None:
-        try:  # a disconnect must not lose an in-progress take
-            self._record_stop(lane)
-        except Exception:  # noqa: BLE001 — best-effort flush
-            pass
+    def _detach(self, lane: int, orderly: bool = True,
+                expected_sock=None) -> None:
+        """Release a lane. expected_sock guards against a deadly reuse
+        race: the render loop's targets snapshot can hit a dead socket
+        AFTER the lane was detached and re-claimed by a NEW client — a
+        blind pop here would kill the new client's lane (it then starves
+        until its read timeout). Only the owner may detach."""
         retained = None
+        take = None
         with self._lock:
-            if self._clients.pop(lane, None) is None:
+            entry = self._clients.get(lane)
+            if entry is None or (expected_sock is not None
+                                 and entry[0] is not expected_sock):
                 return
+            self._clients.pop(lane)
+            take = self._recordings.pop(lane, None)
             token = self._tokens.pop(lane, None)
             # "orderly" can be reported by EITHER closer: the reader thread
             # (processed the bye) or the render loop (hit the closing
@@ -284,6 +291,11 @@ class LiveServer:
                 except Exception:  # noqa: BLE001 — retention is best-effort
                     pass
             self.fleet.detach_lane(lane)
+        if take is not None:
+            try:  # a disconnect must not lose an in-progress take
+                self._write_take(take)
+            except Exception:  # noqa: BLE001 — best-effort flush
+                pass
         if retained is not None:
             # disk write OUTSIDE the lock: a slow disk must not stall the
             # render loop (which needs the lock for every fleet block)
@@ -423,7 +435,7 @@ class LiveServer:
             self._send_error(sock, lane, repr(e))
         finally:
             if lane is not None:
-                self._detach(lane, orderly=orderly)
+                self._detach(lane, orderly=orderly, expected_sock=sock)
             try:
                 sock.close()
             except OSError:
@@ -460,6 +472,9 @@ class LiveServer:
         """Write the take; returns (fname, seconds) or None if idle."""
         with self._lock:
             entry = self._recordings.pop(lane, None)
+        return self._write_take(entry)
+
+    def _write_take(self, entry):
         if entry is None:
             return None
         fname, blocks = entry
@@ -625,8 +640,10 @@ class LiveServer:
                         sock.sendall(payload)
                 except OSError:
                     # stalled/dead consumer: an unplanned drop, so retain
-                    # the session for a resume
-                    self._detach(lane, orderly=False)
+                    # the session for a resume. expected_sock: this lane
+                    # may ALREADY belong to a newer client (stale targets
+                    # snapshot) — never detach someone else's lane.
+                    self._detach(lane, orderly=False, expected_sock=sock)
             if self.realtime:
                 next_deadline += block_dt
                 delay = next_deadline - time.monotonic()

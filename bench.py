@@ -48,6 +48,10 @@ Env:
                        bound at ~0.3 s/job)
   ZANG_BENCH_FLEET_LANES / ZANG_BENCH_FLEET_BLOCK  tier-4 config
                        (default 64 lanes x 4096-sample blocks)
+  ZANG_BENCH_PROBE_SECONDS / ZANG_BENCH_PROBE_TIMEOUT  preflight device
+                       probe: total retry budget (default 1800) and
+                       per-attempt subprocess timeout (default 180) —
+                       a dead tunnel exits 1 instead of hanging forever
 """
 
 import json
@@ -69,6 +73,46 @@ def _timed(jrun, args):
 # setup/compile error") during tunnel flaps (observed as a multi-hour
 # outage on 2026-08-18 — retries ride out the flapping edges of one)
 _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE")
+
+
+def _probe_device():
+    """Fail cleanly (instead of hanging forever) when the TPU tunnel is down.
+
+    The axon outage mode observed on 2026-08-18 HANGS jax.devices()
+    rather than erroring, so in-process retries never fire and the whole
+    bench run blocks indefinitely. Probe device init in a subprocess with
+    a hard timeout, retrying with backoff up to ZANG_BENCH_PROBE_SECONDS
+    (default 1800 s) of total budget; exit(1) with a diagnostic if the
+    tunnel never comes back. A healthy tunnel passes the probe in one
+    attempt (~10-30 s of device init)."""
+    import subprocess
+
+    budget = float(os.environ.get("ZANG_BENCH_PROBE_SECONDS", 1800.0))
+    per_try = float(os.environ.get("ZANG_BENCH_PROBE_TIMEOUT", 180.0))
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=per_try, check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            detail = ("hung past %.0f s" % per_try
+                      if isinstance(e, subprocess.TimeoutExpired)
+                      else (e.stderr or b"").decode(errors="replace")[-400:])
+            sys.stderr.write(
+                "bench: device probe attempt %d failed (%s)\n"
+                % (attempt, detail))
+            sys.stderr.flush()
+            if time.time() >= deadline:
+                sys.stderr.write(
+                    "bench: TPU backend unavailable after %.0f s of probing "
+                    "— giving up (the axon tunnel is down; rerun when it is "
+                    "back)\n" % budget)
+                sys.exit(1)
+            time.sleep(min(60.0, 10.0 * attempt))
 
 
 def _first_run(jrun, args, attempts=4):
@@ -248,6 +292,8 @@ def bench_song(seconds, chunk):
 
 
 def main():
+    _probe_device()
+
     from zang_tpu.host import song as sm
 
     seconds = float(os.environ.get("ZANG_BENCH_SECONDS", sm.NUM_SECONDS))

@@ -132,3 +132,63 @@ class TestPipeModeCLI:
         assert rc == 0
         audio, _sr = read_wav_f32(str(wav))
         assert np.abs(audio).max() > 0.05
+
+
+class TestLiveVisual:
+    """The one-line live visual modes (reference F1-F6 visualizer,
+    examples/visual.zig:943-1231): pure rendering, no server needed."""
+
+    @staticmethod
+    def _stub(mode):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            visual_mode=mode,
+            _full_scale=32767.0,
+            recording_file=None,
+            client=SimpleNamespace(welcome={"sample_rate": 48000.0}),
+            _spark=TerminalPlayer._spark,
+            _VISUAL_MODES=TerminalPlayer._VISUAL_MODES,
+        )
+
+    @staticmethod
+    def _render(mode, block):
+        import contextlib
+
+        stub = TestLiveVisual._stub(mode)
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            TerminalPlayer._print_visual(stub, block)
+        return err.getvalue()
+
+    def test_spark_quantization(self):
+        s = TerminalPlayer._spark(np.array([0.0, 0.5, 1.0]))
+        assert len(s) == 3
+        assert s[0] == " " and s[2] == "█"
+
+    def test_modes_render_one_line(self):
+        t = np.arange(1024, dtype=np.float32) / 48000.0
+        sine = (np.sin(2 * np.pi * 440.0 * t) * 20000).astype(np.int16)
+        block = sine[None, :]
+        for mode, label in (("wave", "wav"), ("spec", "fft"),
+                            ("scope", "osc")):
+            out = TestLiveVisual._render(mode, block)
+            assert out.startswith("\r" + label + "["), (mode, out[:20])
+            assert "\n" not in out
+            # a loud sine must light up the display
+            assert any(c in out for c in "▅▆▇█"), (mode, out)
+
+    def test_silence_stays_dark(self):
+        block = np.zeros((1, 1024), np.int16)
+        for mode in ("wave", "spec"):
+            out = TestLiveVisual._render(mode, block)
+            assert not any(c in out for c in "▁▂▃▄▅▆▇█"), (mode, out)
+
+    def test_cycle_visual_order(self):
+        stub = TestLiveVisual._stub(None)
+        stub._note = lambda *a, **k: None
+        seen = []
+        for _ in range(5):
+            TerminalPlayer.cycle_visual(stub)
+            seen.append(stub.visual_mode)
+        assert seen == ["wave", "spec", "scope", None, "wave"]

@@ -25,9 +25,16 @@ Subpackages:
   serve     batch serving: multi-song scheduling, shared compiles
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from . import core  # noqa: F401
+# Opt-in platform selection (ZANG_PLATFORM=cpu|tpu|...) applied before any
+# jax-heavy submodule can initialize a backend — JAX_PLATFORMS is unreliable
+# in containers that force-register remote platform plugins.
+from .platform import apply_platform_env as _apply_platform_env
+
+_apply_platform_env()
+
+from . import core  # noqa: F401,E402
 
 # Lazy top-level conveniences: `zang_tpu.Performance`, `zang_tpu.LiveSession`
 # etc. resolve on first use without importing jax-heavy modules at package
@@ -47,6 +54,8 @@ _LAZY = {
     "LiveFleet": ("zang_tpu.serve.live", "LiveFleet"),
     "LiveServer": ("zang_tpu.serve.server", "LiveServer"),
     "LiveClient": ("zang_tpu.serve.server", "LiveClient"),
+    "MultiInstrumentServer": ("zang_tpu.serve.server",
+                              "MultiInstrumentServer"),
 }
 
 

@@ -922,6 +922,10 @@ EXAMPLES = {
 def main(argv=None):
     import argparse
 
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
+
     from ..core.mixdown import mixdown_s16_np
     from ..core.wav import write_wav_s16
 

@@ -24,6 +24,9 @@ from . import song as song_mod
 
 
 def main(argv=None):
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(prog="zang-render", description=__doc__)
     ap.add_argument("config", choices=["song", "sampler", "poly_echo"])
     ap.add_argument("output")

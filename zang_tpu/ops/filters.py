@@ -16,13 +16,16 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import pallas_mode
 from .scan import affine2_scan
 
 Array = jnp.ndarray
 
-FCDCOFFSET = jnp.float32(3.814697265625e-6)  # 2^-18, Filter.zig:8
+# np not jnp: a module-scope jnp scalar would initialize the backend at
+# import time (see ops/oscillators.py)
+FCDCOFFSET = np.float32(3.814697265625e-6)  # 2^-18, Filter.zig:8
 
 FILTER_MULS = {
     "bypass": None,

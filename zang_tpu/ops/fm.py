@@ -16,11 +16,14 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .scan import exclusive_cumsum_u32, freq_to_ifreq, utof23
 
 Array = jnp.ndarray
-PI = jnp.float32(3.14159265358979323846)
+# np not jnp: a module-scope jnp scalar would initialize the backend at
+# import time (see ops/oscillators.py)
+PI = np.float32(3.14159265358979323846)
 
 
 def _shape_wave(p: Array, waveform) -> Array:

@@ -18,12 +18,17 @@ Conventions:
 from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 from .scan import exclusive_cumsum_u32, freq_to_ifreq, ftou32, utof23
 
 Array = jnp.ndarray
-PI = jnp.float32(3.14159265358979323846)
-GAIN = jnp.float32(0.7)
+# np scalars, not jnp: same (non-weak) f32 dtype in traces, but creating a
+# jnp scalar at import would initialize the JAX backend before the CLI/env
+# platform selection runs (and hangs the import when a remote TPU tunnel
+# is down)
+PI = np.float32(3.14159265358979323846)
+GAIN = np.float32(0.7)
 
 
 def _advance(cnt0: Array, ifreq: Array) -> Tuple[Array, Array]:

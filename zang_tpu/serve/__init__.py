@@ -1,6 +1,31 @@
-"""Serving: batch song fleets (tier 3) + live session fleets and their TCP front-end (tier 4)."""
+"""Serving tiers: batch WAV rendering (tier 3) and live sessions (tier 4).
 
-from .batch import BatchRenderer, RenderJob, SharedGraphCache  # noqa: F401
-from .client import TerminalPlayer  # noqa: F401
-from .live import LiveFleet  # noqa: F401
-from .server import LiveClient, LiveServer  # noqa: F401
+Lazy re-exports: `python -m zang_tpu.serve.server` must not re-execute a
+module this package already imported (runpy warns), and importing the
+thin TCP client should not pay for the jax-heavy batch machinery.
+"""
+
+_LAZY = {
+    "BatchRenderer": ("zang_tpu.serve.batch", "BatchRenderer"),
+    "RenderJob": ("zang_tpu.serve.batch", "RenderJob"),
+    "SharedGraphCache": ("zang_tpu.serve.batch", "SharedGraphCache"),
+    "TerminalPlayer": ("zang_tpu.serve.client", "TerminalPlayer"),
+    "LiveFleet": ("zang_tpu.serve.live", "LiveFleet"),
+    "LiveClient": ("zang_tpu.serve.server", "LiveClient"),
+    "LiveServer": ("zang_tpu.serve.server", "LiveServer"),
+    "MultiInstrumentServer": ("zang_tpu.serve.server",
+                              "MultiInstrumentServer"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'zang_tpu.serve' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -512,6 +512,10 @@ def main(argv=None):
     import argparse
     import json
 
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
+
     from ..host import song as sm
 
     ap = argparse.ArgumentParser(description=__doc__)

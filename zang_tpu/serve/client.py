@@ -15,7 +15,10 @@ same impulse sequence the SDL host produced for a physical re-press.
 
 Keys: two-row musical layout plays notes; "`" toggles server-side
 recording (the reference recorder's key); "1" prints serving stats;
-Esc / Ctrl-C / Ctrl-D quit.
+"2" cycles the live visual (VU bar -> waveform -> spectrum ->
+oscilloscope sparklines — the reference's F1-F6 visualizer modes,
+examples/visual.zig:943-1231, on one terminal line); Esc / Ctrl-C /
+Ctrl-D quit.
 
 Run a server first (python -m zang_tpu.serve.server), then:
     python -m zang_tpu.serve.client --port 9800 --wav take.wav
@@ -62,6 +65,10 @@ class TerminalPlayer:
         self.level = 0.0  # peak of the last block, 0..1
         self.recording_file: Optional[str] = None
         self.last_stats: Optional[dict] = None
+        # live visual mode (the reference's F1-F6 visualizer modes,
+        # examples/visual.zig:943-1231, on one terminal line): None = VU
+        # bar, else "wave" | "spec" | "scope" sparklines of each block
+        self.visual_mode: Optional[str] = None
         self._timers = {}  # key -> threading.Timer
         self._rec_pending = False  # record toggle awaiting its ack
         self._lock = threading.Lock()  # timers + wav writer
@@ -179,7 +186,10 @@ class TerminalPlayer:
                 now = time.monotonic()
                 if not self.quiet and now - last_vu > 0.1:
                     last_vu = now
-                    self._print_vu()
+                    if self.visual_mode is None:
+                        self._print_vu()
+                    else:
+                        self._print_visual(v)
             elif kind == "record_started":
                 with self._lock:
                     self.recording_file = v["file"]
@@ -217,7 +227,10 @@ class TerminalPlayer:
                 return False
             fresh = None
             try:
-                fresh = LiveClient(host, port, timeout=10.0)
+                # same instrument: resume tokens are per-fleet on a
+                # multi-instrument server
+                fresh = LiveClient(host, port, timeout=10.0,
+                                   instrument=self.client.instrument)
                 fresh.sock.settimeout(300.0)  # normal read timeout
                 frame = fresh.resume(token)
             except (OSError, EOFError, RuntimeError, AssertionError):
@@ -250,6 +263,54 @@ class TerminalPlayer:
         from ..core.mixdown import mixdown_s16_np
 
         return mixdown_s16_np(block, 1.0)
+
+    _VISUAL_MODES = (None, "wave", "spec", "scope")
+    _SPARK = " ▁▂▃▄▅▆▇█"
+
+    def cycle_visual(self) -> None:
+        """Step VU -> waveform -> spectrum -> oscilloscope -> VU (the
+        reference cycles visualizer modes with F1-F6; terminals get one
+        key)."""
+        modes = self._VISUAL_MODES
+        self.visual_mode = modes[
+            (modes.index(self.visual_mode) + 1) % len(modes)]
+        self._note(f"visual: {self.visual_mode or 'vu'}")
+
+    @classmethod
+    def _spark(cls, vals) -> str:
+        """0..1 values -> block-character sparkline."""
+        q = np.clip((np.asarray(vals) * 8.999).astype(int), 0, 8)
+        return "".join(cls._SPARK[i] for i in q)
+
+    def _print_visual(self, block: np.ndarray) -> None:
+        """One-line live visualization of the newest block (channel 0),
+        built on the same frame computations as the offline renderer
+        (host/visual.py; examples/visual.zig:205-791's widgets)."""
+        from ..host import visual as vz
+
+        x = np.asarray(block[0], np.float32) / self._full_scale
+        width = 48
+        mode = self.visual_mode
+        if mode == "wave":
+            cols = vz.waveform_frame(x, width=width)
+            vals = np.abs(cols).max(axis=1)  # envelope magnitude per column
+            label = "wav"
+        elif mode == "spec":
+            mag = vz.spectrum_frame(x)  # log1p |FFT|, fft_size/2 bins
+            edges = (np.arange(width + 1) * len(mag)) // width
+            bins = np.array([mag[a:b].max() if b > a else 0.0
+                             for a, b in zip(edges[:-1], edges[1:])])
+            # fixed scale: a full-scale sine peaks at |FFT| = fft_size/2
+            vals = np.clip(bins / np.log1p(len(mag)), 0.0, 1.0)
+            label = "fft"
+        else:  # scope
+            sr = float(self.client.welcome["sample_rate"])
+            win = vz.oscilloscope_frame(x, None, sr, width=width)
+            vals = np.clip(win * 0.5 + 0.5, 0.0, 1.0)  # -1..1 -> 0..1
+            label = "osc"
+        rec = " REC" if self.recording_file else ""
+        sys.stderr.write("\r%s[%s]%s " % (label, self._spark(vals), rec))
+        sys.stderr.flush()
 
     def _print_vu(self) -> None:
         bar = int(min(self.level, 1.0) * 40)
@@ -310,6 +371,10 @@ def _stdin_keys():
 def main(argv=None) -> int:
     import argparse
 
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
+
     ap = argparse.ArgumentParser(
         prog="zang-play",
         description="Play a zang-tpu live server from the terminal "
@@ -325,11 +390,30 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", metavar="TOKEN",
                     help="continue a session dropped by a network blip "
                          "(the token printed at connect time)")
+    ap.add_argument("--instrument", metavar="NAME",
+                    help="instrument to play on a multi-instrument server "
+                         "(--list-instruments shows the names; default: "
+                         "the server's default instrument)")
+    ap.add_argument("--list-instruments", action="store_true",
+                    help="print the server's instrument menu and exit")
     args = ap.parse_args(argv)
 
-    client = LiveClient(args.host, args.port)
+    if args.list_instruments:
+        from .server import list_instruments
+
+        menu = list_instruments(args.host, args.port)
+        if menu.get("op") == "instruments":
+            for name in menu["available"]:
+                star = " (default)" if name == menu["default"] else ""
+                print(f"{name}{star}")
+        else:  # plain single-instrument LiveServer answered with welcome
+            print("(single-instrument server)")
+        return 0
+
+    client = LiveClient(args.host, args.port, instrument=args.instrument)
     w = client.welcome
-    print(f"lane {w['lane']} @ {args.host}:{args.port}  "
+    inst = f" [{w['instrument']}]" if "instrument" in w else ""
+    print(f"lane {w['lane']}{inst} @ {args.host}:{args.port}  "
           f"block {w['block_size']} / {w['sample_rate']:.0f} Hz "
           f"{w['dtype']}", file=sys.stderr)
     if w.get("resume_token"):
@@ -353,6 +437,8 @@ def main(argv=None) -> int:
                         player.toggle_recording()
                     elif ch == "1":
                         player.request_stats()
+                    elif ch == "2":
+                        player.cycle_visual()
                     elif ch.strip():
                         player.press(ch)
             else:  # scripted/pipe mode, for tests and automation

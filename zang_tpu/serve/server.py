@@ -109,8 +109,13 @@ class LiveServer:
         resume_ttl: float = 300.0,
         max_retained: int = 64,
         retain_dir: Optional[str] = None,
+        bind: bool = True,
+        instrument_name: Optional[str] = None,
         **fleet_kwargs,
     ) -> None:
+        self.instrument_name = instrument_name  # set by the multi-instrument
+        # front-end; echoed in welcome/stats frames so clients can confirm
+        # which fleet they landed on
         self.fleet = LiveFleet(
             make_parts, initial_lanes, sample_rate,
             pcm16_volume=pcm16_volume, **fleet_kwargs)
@@ -136,31 +141,39 @@ class LiveServer:
         self._stop = threading.Event()
         self._render_thread: Optional[threading.Thread] = None
 
-        srv = self
+        if bind:
+            srv = self
 
-        class _Handler(socketserver.BaseRequestHandler):
-            def handle(self):  # one thread per client (ThreadingTCPServer)
-                srv._serve_client(self.request)
+            class _Handler(socketserver.BaseRequestHandler):
+                def handle(self):  # one thread per client
+                    srv._serve_client(self.request)
 
-        self._tcp = socketserver.ThreadingTCPServer(
-            (host, port), _Handler, bind_and_activate=True)
-        self._tcp.daemon_threads = True
-        self.host, self.port = self._tcp.server_address[:2]
+            self._tcp = socketserver.ThreadingTCPServer(
+                (host, port), _Handler, bind_and_activate=True)
+            self._tcp.daemon_threads = True
+            self.host, self.port = self._tcp.server_address[:2]
+        else:
+            # backend mode: a front-end (MultiInstrumentServer) owns the
+            # socket and hands accepted connections to _serve_client
+            self._tcp = None
+            self.host = self.port = None
 
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> None:
         """Start accepting connections and rendering blocks."""
-        threading.Thread(
-            target=self._tcp.serve_forever, daemon=True).start()
+        if self._tcp is not None:
+            threading.Thread(
+                target=self._tcp.serve_forever, daemon=True).start()
         self._render_thread = threading.Thread(
             target=self._render_loop, daemon=True)
         self._render_thread.start()
 
     def close(self) -> None:
         self._stop.set()
-        self._tcp.shutdown()
-        self._tcp.server_close()
+        if self._tcp is not None:
+            self._tcp.shutdown()
+            self._tcp.server_close()
         if self._render_thread is not None:
             self._render_thread.join(timeout=30.0)
         with self._lock:
@@ -211,6 +224,8 @@ class LiveServer:
             seq = self._seq
         med = float(np.median(times)) if times else None
         return {
+            **({"instrument": self.instrument_name}
+               if self.instrument_name is not None else {}),
             "clients": clients,
             "lanes": self.fleet.num_lanes,
             "blocks_served": seq,
@@ -374,31 +389,39 @@ class LiveServer:
                 pass
         return None
 
-    def _serve_client(self, sock) -> None:
+    def _serve_client(self, sock, initial_buf: bytes = b"") -> None:
+        """Serve one connection. initial_buf carries bytes a front-end
+        already read while routing (e.g. the hello line's tail)."""
         sess = self.fleet.lanes[0]  # spec donor for the welcome frame
         sock.settimeout(self.send_timeout)
         lane = None
         orderly = False
         try:
             lane, send_lock, token = self._attach(sock)
+            welcome = {
+                "op": "welcome", "lane": lane,
+                "sample_rate": self.fleet._sample_rate,
+                "block_size": sess.block_size,
+                "num_channels": sess.num_channels,
+                "dtype": self._dtype,
+                "resume_token": token,
+            }
+            if self.instrument_name is not None:
+                welcome["instrument"] = self.instrument_name
             with send_lock:
-                _send_json(sock, {
-                    "op": "welcome", "lane": lane,
-                    "sample_rate": self.fleet._sample_rate,
-                    "block_size": sess.block_size,
-                    "num_channels": sess.num_channels,
-                    "dtype": self._dtype,
-                    "resume_token": token,
-                })
-            buf = b""
+                _send_json(sock, welcome)
+            buf = initial_buf
+            first = True  # process any routed-in lines before the first recv
             while not self._stop.is_set():
-                try:
-                    chunk = sock.recv(65536)
-                except socket.timeout:
-                    continue
-                if not chunk:
-                    return  # disconnect
-                buf += chunk
+                if not first or b"\n" not in buf:
+                    try:
+                        chunk = sock.recv(65536)
+                    except socket.timeout:
+                        continue
+                    if not chunk:
+                        return  # disconnect
+                    buf += chunk
+                first = False
                 while b"\n" in buf:
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
@@ -612,8 +635,11 @@ class LiveServer:
                     self._stop.set()
                     # also stop ACCEPTING: a live port that welcomes clients
                     # and never streams is worse than a refused connection
-                    self._tcp.shutdown()
-                    self._tcp.server_close()
+                    # (in backend mode the front-end checks _stop and
+                    # refuses to route new clients here)
+                    if self._tcp is not None:
+                        self._tcp.shutdown()
+                        self._tcp.server_close()
                     return
                 time.sleep(0.05 * failures)
                 continue
@@ -657,18 +683,264 @@ def _send_json(sock, obj) -> None:
     sock.sendall(json.dumps(obj).encode() + b"\n")
 
 
+class MultiInstrumentServer:
+    """One TCP port serving several instrument specs.
+
+    A LiveFleet vmaps ONE instrument spec across its lanes (all lanes run
+    the same jitted step), so heterogeneous serving means one fleet per
+    spec. This front-end owns the socket; each named instrument gets its
+    own backend LiveServer (fleet + render loop, no TCP bind of its own),
+    created lazily on the first connection that asks for it so unused
+    specs never pay a compile. The client's FIRST frame picks the fleet:
+
+        {"op": "hello", "instrument": "nice"}
+
+    A first frame of {"op": "instruments"} gets the menu back (available
+    names + default) and the connection closes — discovery without
+    allocating a lane. A first frame that is any other op (or a hello
+    without "instrument") routes to `default_instrument` and is then
+    processed normally by the backend; a client that sends nothing routes
+    to the default after `hello_timeout` seconds. After routing, the connection speaks the
+    plain LiveServer protocol (welcome/blocks/events/resume/...) against
+    its backend — resume tokens are per-backend, so reconnecting clients
+    must hello the same instrument before resuming.
+
+    `instruments` maps name -> dict of LiveServer kwargs (make_parts and
+    sample_rate required; anything else optional), merged over
+    `common_kwargs`. A shared `retain_dir` is split into one subdirectory
+    per instrument (snapshots are only restorable onto the same spec).
+
+    The reference analog: its 19 example programs are 19 different
+    instruments a user picks at launch (build.zig run steps); here one
+    serving endpoint hosts them all concurrently.
+    """
+
+    def __init__(
+        self,
+        instruments,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        default_instrument: Optional[str] = None,
+        hello_timeout: float = 3.0,
+        retain_dir: Optional[str] = None,
+        **common_kwargs,
+    ) -> None:
+        if not instruments:
+            raise ValueError("instruments must be a non-empty mapping")
+        self._specs = {str(k): dict(v) for k, v in instruments.items()}
+        for name, spec in self._specs.items():
+            for req in ("make_parts", "sample_rate"):
+                if req not in spec:
+                    raise ValueError(
+                        f"instrument {name!r} spec is missing {req!r}")
+        self.default_instrument = (
+            default_instrument if default_instrument is not None
+            else next(iter(self._specs)))
+        if self.default_instrument not in self._specs:
+            raise ValueError(
+                f"default_instrument {self.default_instrument!r} is not in "
+                f"instruments {sorted(self._specs)}")
+        self.hello_timeout = float(hello_timeout)
+        self._retain_dir = retain_dir
+        self._common = dict(common_kwargs)
+        self._backends = {}  # name -> started LiveServer (bind=False)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+
+        srv = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # one thread per client
+                srv._route(self.request)
+
+        self._tcp = socketserver.ThreadingTCPServer(
+            (host, port), _Handler, bind_and_activate=True)
+        self._tcp.daemon_threads = True
+        self.host, self.port = self._tcp.server_address[:2]
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        threading.Thread(target=self._tcp.serve_forever, daemon=True).start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        with self._lock:
+            backends = list(self._backends.values())
+        for b in backends:
+            b.close()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def instrument_names(self):
+        return sorted(self._specs)
+
+    def backend(self, name: str) -> LiveServer:
+        """The backend LiveServer for `name`, creating (and starting) it
+        on first use. Creation is serialized; the fleet's first compile
+        happens on its render thread, off this path."""
+        with self._lock:
+            b = self._backends.get(name)
+            if b is not None:
+                return b
+            # checked under the lock: close() sets _stop before taking it,
+            # so a creation racing close() either lands in its snapshot or
+            # is refused here — no orphaned render threads
+            if self._stop.is_set():
+                raise _ClientError("server closing")
+            spec = dict(self._common)
+            spec.update(self._specs[name])
+            if self._retain_dir is not None and "retain_dir" not in spec:
+                spec["retain_dir"] = os.path.join(self._retain_dir, name)
+            make_parts = spec.pop("make_parts")
+            sample_rate = spec.pop("sample_rate")
+            b = LiveServer(make_parts, sample_rate, bind=False,
+                           instrument_name=name, **spec)
+            b.start()
+            self._backends[name] = b
+            return b
+
+    def stats(self) -> dict:
+        """Aggregate + per-instrument serving stats (only instantiated
+        backends appear; connect-and-ask gives per-fleet detail)."""
+        with self._lock:
+            backends = dict(self._backends)
+        per = {name: b.stats() for name, b in backends.items()}
+        return {
+            "instruments": per,
+            "available": self.instrument_names,
+            "clients": sum(p["clients"] for p in per.values()),
+        }
+
+    @property
+    def num_clients(self) -> int:
+        with self._lock:
+            backends = list(self._backends.values())
+        return sum(b.num_clients for b in backends)
+
+    # -- routing ------------------------------------------------------------
+
+    def _route(self, sock) -> None:
+        """Read the first frame (bounded), pick the backend, hand over."""
+        sock.settimeout(self.hello_timeout)
+        buf = b""
+        try:
+            while b"\n" not in buf:
+                if len(buf) > 65536:
+                    raise _ClientError("first frame too large")
+                try:
+                    chunk = sock.recv(65536)
+                except socket.timeout:
+                    break  # silent client: default instrument
+                if not chunk:
+                    return  # connected and left
+                buf += chunk
+            name = self.default_instrument
+            if b"\n" in buf:
+                line, rest = buf.split(b"\n", 1)
+                try:
+                    msg = json.loads(line) if line.strip() else {}
+                except ValueError:
+                    raise _ClientError("malformed first frame")
+                if msg.get("op") == "instruments":
+                    # menu discovery: reply and close, no lane allocated
+                    _send_json(sock, {
+                        "op": "instruments",
+                        "available": self.instrument_names,
+                        "default": self.default_instrument,
+                    })
+                    return
+                if msg.get("op") == "hello":
+                    want = msg.get("instrument")
+                    if want is not None:
+                        if want not in self._specs:
+                            raise _ClientError(
+                                f"unknown instrument {want!r}; available: "
+                                f"{self.instrument_names}")
+                        name = str(want)
+                    buf = rest  # hello consumed
+                # any other op: default instrument, frame left in buf for
+                # the backend to process
+            if self._stop.is_set():
+                return
+            try:
+                backend = self.backend(name)
+            except _ClientError:
+                raise
+            except Exception as e:  # fleet construction failed (bad spec):
+                # tell the client instead of a silent hang-until-timeout
+                raise _ClientError(
+                    f"instrument {name!r} failed to start: {e!r}") from e
+            if backend._stop.is_set():
+                raise _ClientError(f"instrument {name!r} is unavailable")
+        except _ClientError as e:
+            try:
+                _send_json(sock, {"op": "error", "message": str(e)})
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+            return
+        except OSError:
+            try:
+                sock.close()
+            except OSError:
+                pass
+            return
+        backend._serve_client(sock, initial_buf=buf)
+
+
+def list_instruments(host: str, port: int, timeout: float = 10.0) -> dict:
+    """Ask a serving endpoint for its instrument menu. Against a
+    MultiInstrumentServer returns {"op": "instruments", "available":
+    [...], "default": ...}; against a plain LiveServer the reply is its
+    welcome frame (op == "welcome": single-instrument endpoint)."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        _send_json(sock, {"op": "instruments"})
+        buf = b""
+        while b"\n" not in buf:
+            chunk = sock.recv(65536)
+            if not chunk:
+                raise EOFError("server closed before replying")
+            buf += chunk
+        return json.loads(buf.split(b"\n", 1)[0])
+    finally:
+        sock.close()
+
+
 # -- a minimal client, for tests and piping ---------------------------------
 
 
 class LiveClient:
-    """Blocking client for LiveServer's protocol (tests, CLI piping)."""
+    """Blocking client for LiveServer's protocol (tests, CLI piping).
 
-    def __init__(self, host: str, port: int, timeout: float = 300.0) -> None:
+    Always leads with a hello frame: a plain LiveServer treats it as a
+    no-op, a MultiInstrumentServer routes on it (pass `instrument` to
+    pick a fleet; None lands on the server's default instrument)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 300.0,
+                 instrument: Optional[str] = None) -> None:
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.instrument = instrument
         self._buf = b""
         self._pending_blocks = []
         self._pending_ctrl = []
         self.last_block_seq = 0  # seq of the newest block frame received
+        hello = {"op": "hello"}
+        if instrument is not None:
+            hello["instrument"] = instrument
+        _send_json(self.sock, hello)
         self.welcome = self._read_json()
         if self.welcome.get("op") == "error":
             raise RuntimeError(self.welcome["message"])
@@ -800,32 +1072,117 @@ class LiveClient:
         self.sock.close()
 
 
-def _main():  # demo: serve NiceInstrument sessions on a TCP port
+def builtin_instruments(sample_rate: float, polyphony: int):
+    """The stock serving menu: the reference's reusable example
+    instruments (examples/modules.zig) as multi-server specs."""
+    from ..host import instruments as ti
+
+    def spec(mk):
+        return {"make_parts": mk, "sample_rate": sample_rate}
+
+    return {
+        "nice": spec(lambda: [(ti.NiceInstrument(0.3), polyphony)]),
+        "pmosc": spec(lambda: [(ti.PMOscInstrument(1.0), polyphony)]),
+        "hardsquare": spec(lambda: [(ti.HardSquareInstrument(), polyphony)]),
+        "filteredsaw": spec(
+            lambda: [(ti.FilteredSawtoothInstrument(), polyphony)]),
+        "weirdsquare": spec(
+            lambda: [(ti.SquareWithEnvelope(weird=True), polyphony)]),
+    }
+
+
+def _script_spec(path: str, sample_rate: float, polyphony: int):
+    """A zangscript file as a serving spec: compile once up front (a bad
+    script should fail at server start, not at a client's first hello).
+    `path` may be FILE or FILE:MODULE; default is the last exported
+    module (the reference's convention — the player module is the last
+    global, e.g. DemoPlayer in examples/script.txt)."""
+    from ..script.compile import compile_script
+    from ..script.jax_backend import ScriptInstrument
+
+    module = None
+    if not os.path.exists(path) and ":" in path:
+        path, _, module = path.rpartition(":")
+    with open(path) as f:
+        src = f.read()
+    cs = compile_script(src, filename=path)
+    if not cs.exported_modules:
+        raise ValueError(f"{path}: script exports no modules")
+    names = [em.name for em in cs.exported_modules]
+    if module is None:
+        module = names[-1]
+    elif module not in names:
+        raise ValueError(f"{path}: no exported module {module!r} "
+                         f"(available: {names})")
+
+    return {
+        "make_parts": lambda: [(ScriptInstrument(cs, module), polyphony)],
+        "sample_rate": sample_rate,
+    }
+
+
+def _main():  # serve the stock instruments (and any --script) on a TCP port
     import argparse
 
-    from ..host import instruments as ti
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
 
     ap = argparse.ArgumentParser(
         description="Serve live synth sessions over TCP (PCM16 blocks out, "
-                    "JSON events in — see module docstring for the protocol)")
+                    "JSON events in — see module docstring for the "
+                    "protocol). Each instrument gets its own fleet, "
+                    "created on first use; clients pick one with "
+                    "zang-play --instrument NAME.")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=9800)
     ap.add_argument("--block-size", type=int, default=4096)
     ap.add_argument("--sample-rate", type=float, default=48000.0)
     ap.add_argument("--lanes", type=int, default=4,
-                    help="initial fleet size (grows on demand)")
-    ap.add_argument("--max-lanes", type=int, default=256)
+                    help="initial lanes per instrument fleet (grows on "
+                         "demand)")
+    ap.add_argument("--max-lanes", type=int, default=256,
+                    help="hard cap per instrument fleet")
     ap.add_argument("--polyphony", type=int, default=4)
+    ap.add_argument("--instrument", default="nice",
+                    help="default instrument for clients that don't pick")
+    ap.add_argument("--script", action="append", default=[],
+                    metavar="NAME=FILE[:MODULE]",
+                    help="also serve a zangscript instrument (repeatable; "
+                         "MODULE defaults to the script's last export)")
+    ap.add_argument("--list", action="store_true",
+                    help="print the instrument menu and exit")
+    ap.add_argument("--retain-dir",
+                    help="persist blipped sessions here so resume tokens "
+                         "survive server restarts")
     args = ap.parse_args()
 
-    srv = LiveServer(
-        lambda: [(ti.NiceInstrument(0.3), args.polyphony)],
-        args.sample_rate, host=args.host, port=args.port,
+    menu = builtin_instruments(args.sample_rate, args.polyphony)
+    for item in args.script:
+        name, _, path = item.partition("=")
+        if not path:
+            raise SystemExit(f"--script wants NAME=FILE, got {item!r}")
+        menu[name] = _script_spec(path, args.sample_rate, args.polyphony)
+    if args.list:
+        for name in sorted(menu):
+            print(name)
+        return
+    if args.instrument not in menu:
+        raise SystemExit(
+            f"unknown default instrument {args.instrument!r}; "
+            f"available: {sorted(menu)}")
+
+    srv = MultiInstrumentServer(
+        menu, host=args.host, port=args.port,
+        default_instrument=args.instrument,
+        retain_dir=args.retain_dir,
         initial_lanes=args.lanes, max_lanes=args.max_lanes,
         block_size=args.block_size, prewarm=True)
     srv.start()
     print(f"live server on {srv.host}:{srv.port} "
-          f"(block {args.block_size} @ {args.sample_rate:.0f} Hz)")
+          f"(block {args.block_size} @ {args.sample_rate:.0f} Hz; "
+          f"instruments: {', '.join(sorted(menu))}; "
+          f"default {args.instrument})")
     try:
         while True:
             time.sleep(3600)

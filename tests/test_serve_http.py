@@ -1,0 +1,161 @@
+"""HTTP render tier (serve/http.py): menu, WAV rendering, script uploads,
+caching/single-flight, and request validation."""
+
+import json
+import struct
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from zang_tpu.serve.http import RenderHTTPServer
+
+TEST_SCRIPT = """
+TestSynth = defmodule freq: cob, note_on: boolean, begin
+    e = Envelope(attack=.cubed(0.01), decay=.cubed(0.05), release=.cubed(0.1),
+                 sustain_volume=0.8, note_on)
+    out SineOsc(freq, phase=0) * e * 0.5
+end
+"""
+
+
+def _get(srv, path, timeout=300.0):
+    return urllib.request.urlopen(
+        f"http://{srv.host}:{srv.port}{path}", timeout=timeout)
+
+
+def _post(srv, path, body, timeout=300.0):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _parse_wav(data: bytes):
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", data[:12]
+    sr = struct.unpack_from("<I", data, 24)[0]
+    ch = struct.unpack_from("<H", data, 22)[0]
+    n = struct.unpack_from("<I", data, 40)[0]
+    pcm = np.frombuffer(data[44:44 + n], dtype=np.int16)
+    return sr, ch, pcm
+
+
+@pytest.fixture(scope="module")
+def srv():
+    with RenderHTTPServer(max_seconds=5.0) as s:
+        yield s
+
+
+class TestMenuAndValidation:
+    def test_menu(self, srv):
+        with _get(srv, "/v1/examples", timeout=10.0) as r:
+            menu = json.loads(r.read())
+        assert "envelope" in menu["examples"]
+        assert "song" in menu["examples"]
+        assert "/v1/render/script" in menu["endpoints"]
+
+    def test_unknown_example_404(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/render?example=nope", timeout=10.0)
+        assert ei.value.code == 404
+
+    def test_missing_example_400(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/render", timeout=10.0)
+        assert ei.value.code == 400
+
+    def test_seconds_over_cap_400(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/render?example=envelope&seconds=3600", timeout=10.0)
+        assert ei.value.code == 400
+
+    def test_unknown_endpoint_404(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/nope", timeout=10.0)
+        assert ei.value.code == 404
+
+    def test_script_body_must_be_json(self, srv):
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/v1/render/script",
+            data=b"not json")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10.0)
+        assert ei.value.code == 400
+
+
+class TestRendering:
+    def test_example_render_and_cache(self, srv):
+        before = srv.stats()
+        with _get(srv, "/v1/render?example=envelope&seconds=1.0") as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            wav1 = r.read()
+        sr, ch, pcm = _parse_wav(wav1)
+        assert ch == 1 and len(pcm) == int(sr * 1.0)
+        assert np.abs(pcm).max() > 100  # audible, not silence
+        # identical request: served from cache, no second render
+        with _get(srv, "/v1/render?example=envelope&seconds=1.0",
+                  timeout=30.0) as r:
+            wav2 = r.read()
+        assert wav2 == wav1
+        after = srv.stats()
+        assert after["renders"] == before["renders"] + 1
+        assert after["cache_hits"] >= before["cache_hits"] + 1
+
+    def test_single_flight_concurrent_identical(self, srv):
+        before = srv.stats()
+        results = []
+
+        def fetch():
+            with _get(srv, "/v1/render?example=envelope&seconds=0.7") as r:
+                results.append(r.read())
+
+        ts = [threading.Thread(target=fetch) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(results) == 2 and results[0] == results[1]
+        after = srv.stats()
+        # one render; the other request coalesced or hit the cache
+        assert after["renders"] == before["renders"] + 1
+        assert (after["cache_hits"] + after["coalesced"]
+                >= before["cache_hits"] + before["coalesced"] + 1)
+
+    def test_script_render(self, srv):
+        body = {"script": TEST_SCRIPT, "seconds": 1.2,
+                "notes": [[0.1, 0.5, 440.0], [0.7, 0.3, 660.0]]}
+        with _post(srv, "/v1/render/script", body) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            sr, ch, pcm = _parse_wav(r.read())
+        assert sr == 44100 and ch == 1 and len(pcm) == int(44100 * 1.2)
+        mid = pcm[int(0.2 * sr):int(0.4 * sr)]
+        tail = pcm[int(1.1 * sr):]
+        assert np.abs(mid).max() > 100          # note sounding
+        assert np.abs(tail).max() < np.abs(mid).max()  # released
+
+    def test_script_module_selection_default_last(self, srv):
+        # module omitted -> last exported module; explicit name also works
+        body = {"script": TEST_SCRIPT, "seconds": 0.5,
+                "module": "TestSynth", "notes": [[0.0, 0.3, 330.0]]}
+        with _post(srv, "/v1/render/script", body) as r:
+            sr, ch, pcm = _parse_wav(r.read())
+        assert np.abs(pcm).max() > 50
+
+    def test_script_compile_error_returns_diagnostics(self, srv):
+        body = {"script": "Broken = defmodule begin out NoSuchThing() end",
+                "seconds": 0.5}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/script", body, timeout=30.0)
+        assert ei.value.code == 400
+        msg = json.loads(ei.value.read())["error"]
+        assert "NoSuchThing" in msg or "^" in msg  # caret diagnostics
+
+    def test_stats_endpoint(self, srv):
+        with _get(srv, "/v1/stats", timeout=10.0) as r:
+            stats = json.loads(r.read())
+        assert stats["renders"] >= 1
+        assert stats["audio_seconds_rendered"] > 0
+        assert stats["cached_entries"] >= 1

@@ -38,18 +38,35 @@ def write_wav_u8(path: str, samples: np.ndarray, sample_rate: int, num_channels:
     _write(path, u8.tobytes(), sample_rate, num_channels, 8)
 
 
-def _write(path: str, data: bytes, sample_rate: int, num_channels: int, bits: int) -> None:
+def encode_wav_s16(samples: np.ndarray, sample_rate: int,
+                   num_channels: int = 1) -> bytes:
+    """In-memory WAV file bytes (int16 PCM; [n], [n*ch] interleaved, or
+    [ch, n]) — the HTTP render tier streams these without touching disk."""
+    if samples.ndim == 2:
+        samples = np.ascontiguousarray(samples.T).reshape(-1)
+    assert samples.dtype == np.int16
+    return _encode(samples.tobytes(), sample_rate, num_channels, 16)
+
+
+def _encode(data: bytes, sample_rate: int, num_channels: int, bits: int) -> bytes:
     byte_rate = sample_rate * num_channels * bits // 8
     block_align = num_channels * bits // 8
+    return b"".join([
+        b"RIFF",
+        struct.pack("<I", 36 + len(data)),
+        b"WAVE",
+        b"fmt ",
+        struct.pack("<IHHIIHH", 16, 1, num_channels, sample_rate, byte_rate,
+                    block_align, bits),
+        b"data",
+        struct.pack("<I", len(data)),
+        data,
+    ])
+
+
+def _write(path: str, data: bytes, sample_rate: int, num_channels: int, bits: int) -> None:
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(data)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, num_channels, sample_rate, byte_rate, block_align, bits))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
-        f.write(data)
+        f.write(_encode(data, sample_rate, num_channels, bits))
 
 
 class StreamingWavWriter:

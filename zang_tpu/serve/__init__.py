@@ -15,6 +15,7 @@ _LAZY = {
     "LiveServer": ("zang_tpu.serve.server", "LiveServer"),
     "MultiInstrumentServer": ("zang_tpu.serve.server",
                               "MultiInstrumentServer"),
+    "RenderHTTPServer": ("zang_tpu.serve.http", "RenderHTTPServer"),
 }
 
 

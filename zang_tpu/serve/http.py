@@ -1,0 +1,416 @@
+"""HTTP render API (serving tier 5): stateless request/response WAV rendering.
+
+The reference's offline path is a local CLI (examples/write_wav.zig) and a
+local example picker (build.zig run steps); the serving analog is one HTTP
+endpoint any client can hit to render an example config or an uploaded
+zangscript to a WAV, with response caching so repeated requests skip both
+the XLA compile and the render. Stdlib-only (http.server), same protocol
+family as the TCP live tier (serve/server.py) but request/response:
+
+  GET  /v1/examples                        JSON menu of example configs
+  GET  /v1/render?example=play&seconds=4   audio/wav (s16), rendered now
+  POST /v1/render/script                   audio/wav; JSON body:
+        {"script": str,                    zangscript source (required)
+         "module": str,                    exported module (default: last)
+         "seconds": float,                 render length (default 4.0)
+         "sample_rate": float,             default 44100
+         "polyphony": int,                 voice slots (default 2)
+         "volume": float,                  mixdown volume (default 0.25)
+         "notes": [[t_on, dur, freq], ...] event list (default: a melody)
+         "params": {name: value}}          extra note params (enum labels,
+                                           booleans, floats) for exported
+                                           params beyond freq/note_on
+  GET  /v1/stats                           JSON serving counters
+
+Script compile failures return HTTP 400 with the compiler's caret
+diagnostics (script/errors.py) in the body — the reference's in-window
+error display (example.zig:144-168), re-homed to an HTTP error payload.
+
+Renders run on the handler thread, bounded by a semaphore; identical
+in-flight requests coalesce onto one render (single-flight) and completed
+responses are LRU-cached by request key, so a menu of examples behind a
+web page costs one compile per (config, length) no matter how many
+listeners. Long or abusive requests are rejected up front (max_seconds,
+script size cap) — this tier is for interactive auditioning; bulk offline
+work belongs to serve/batch.py (tier 3) and sustained interaction to the
+live TCP tier (serve/server.py, tier 4).
+"""
+
+import hashlib
+import json
+import threading
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["RenderHTTPServer", "main"]
+
+# the ex_script melody shape (host/examples.py) as a plain note list
+DEFAULT_NOTES = [
+    (0.2 + 0.45 * i, 0.3, 440.0 * 2.0 ** (n / 12.0))
+    for i, n in enumerate([-9, -2, 0, 3, 0, -2, -9, -14])
+]
+
+
+class _BadRequest(Exception):
+    def __init__(self, status: int, message: str):
+        self.status = status
+        self.message = message
+        super().__init__(message)
+
+
+def _render_example(name: str, seconds: Optional[float], volume: float):
+    from ..core.mixdown import mixdown_s16_np
+    from ..core.wav import encode_wav_s16
+    from ..host.examples import EXAMPLES
+
+    fn = EXAMPLES[name]
+    audio, sr = fn(**({"seconds": seconds} if seconds is not None else {}))
+    audio = np.asarray(audio)
+    pcm = mixdown_s16_np(audio, volume)
+    ch = pcm.shape[0] if pcm.ndim == 2 else 1
+    return encode_wav_s16(pcm if ch > 1 else pcm.reshape(-1), int(sr), ch)
+
+
+def _render_script(body: dict, volume: float):
+    from ..core.mixdown import mixdown_s16_np
+    from ..core.notes import SongEvent
+    from ..core.timeline import compile_timelines
+    from ..core.wav import encode_wav_s16
+    from ..graph.render import Performance, render_performance
+    from ..script import compile_script
+    from ..script.jax_backend import ScriptInstrument
+
+    src = body["script"]
+    sr = float(body.get("sample_rate", 44100.0))
+    seconds = float(body.get("seconds", 4.0))
+    polyphony = int(body.get("polyphony", 2))
+    notes = body.get("notes", DEFAULT_NOTES)
+    extra = dict(body.get("params", {}))
+    # JSON has no tuples; enum-with-payload labels arrive as [label, payload]
+    for k, v in extra.items():
+        if isinstance(v, list):
+            extra[k] = tuple(v)
+
+    cs = compile_script(src)
+    module = body.get("module")
+    if module is None:
+        if not cs.exported_modules:
+            raise _BadRequest(400, "script exports no modules")
+        module = cs.exported_modules[-1].name
+    inst = ScriptInstrument(cs, str(module))
+
+    song = []
+    for i, note in enumerate(notes):
+        t_on, dur, freq = (float(x) for x in note)
+        p = {"freq": np.float32(freq), "note_on": True, **extra}
+        q = {"freq": np.float32(freq), "note_on": False, **extra}
+        song.append(SongEvent(p, t=t_on, note_id=i + 1))
+        song.append(SongEvent(q, t=t_on + dur, note_id=i + 1))
+    song.sort(key=lambda e: (e.t, e.note_id))
+
+    total = int(seconds * sr)
+    tls = compile_timelines(song, polyphony, sr, total)
+    audio = render_performance(
+        Performance([(inst, tls)], sr), total,
+        chunk_size=min(16384, max(256, total)))
+    pcm = mixdown_s16_np(np.asarray(audio), volume)
+    return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
+
+
+class RenderHTTPServer:
+    """One-port HTTP render service over the example registry + the
+    zangscript compiler. See module docstring for the endpoint table."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_seconds: float = 60.0,
+        max_script_bytes: int = 65536,
+        max_polyphony: int = 64,
+        max_notes: int = 512,
+        max_concurrent_renders: int = 2,
+        cache_entries: int = 32,
+        cache_bytes: int = 256 << 20,
+    ) -> None:
+        self.max_seconds = float(max_seconds)
+        self.max_script_bytes = int(max_script_bytes)
+        self.max_polyphony = int(max_polyphony)
+        self.max_notes = int(max_notes)
+        self._render_sem = threading.Semaphore(max(1, max_concurrent_renders))
+        self._cache_entries = int(cache_entries)
+        self._cache_bytes = int(cache_bytes)
+        self._cache: "OrderedDict[str, bytes]" = OrderedDict()
+        self._cache_total = 0
+        self._inflight = {}  # key -> threading.Event (single-flight)
+        self._lock = threading.Lock()
+        self.stats_counts = {
+            "requests": 0, "renders": 0, "cache_hits": 0,
+            "coalesced": 0, "failures": 0,
+        }
+        self._audio_seconds = 0.0
+
+        srv = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def do_GET(self):
+                srv._handle(self, "GET")
+
+            def do_POST(self):
+                srv._handle(self, "POST")
+
+        self._tcp = ThreadingHTTPServer((host, port), _Handler)
+        self._tcp.daemon_threads = True
+        self.host, self.port = self._tcp.server_address[:2]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        threading.Thread(target=self._tcp.serve_forever, daemon=True).start()
+
+    def close(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatch ------------------------------------------------------------
+
+    def _handle(self, h: BaseHTTPRequestHandler, method: str) -> None:
+        with self._lock:
+            self.stats_counts["requests"] += 1
+        url = urlparse(h.path)
+        try:
+            if method == "GET" and url.path == "/v1/examples":
+                self._send_json(h, 200, self._menu())
+            elif method == "GET" and url.path == "/v1/stats":
+                self._send_json(h, 200, self.stats())
+            elif method == "GET" and url.path == "/v1/render":
+                self._handle_example(h, parse_qs(url.query))
+            elif method == "POST" and url.path == "/v1/render/script":
+                self._handle_script(h)
+            else:
+                raise _BadRequest(404, f"no such endpoint: {method} {url.path}")
+        except _BadRequest as e:
+            self._send_json(h, e.status, {"error": e.message})
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # noqa: BLE001 — a request must not kill the server
+            with self._lock:
+                self.stats_counts["failures"] += 1
+            self._send_json(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _menu(self) -> dict:
+        from ..host.examples import EXAMPLES
+
+        return {
+            "examples": sorted(EXAMPLES),
+            "max_seconds": self.max_seconds,
+            "endpoints": ["/v1/examples", "/v1/render",
+                          "/v1/render/script", "/v1/stats"],
+        }
+
+    def _handle_example(self, h, q: dict) -> None:
+        from ..host.examples import EXAMPLES
+
+        name = q.get("example", [None])[0]
+        if not name:
+            raise _BadRequest(400, "missing ?example=<name>")
+        if name not in EXAMPLES:
+            raise _BadRequest(
+                404, f"unknown example {name!r}; GET /v1/examples for the menu")
+        seconds = self._seconds(q.get("seconds", [None])[0])
+        volume = self._volume(q.get("volume", [None])[0])
+        key = f"ex:{name}:{seconds}:{volume}"
+        wav = self._render_cached(
+            key, lambda: _render_example(name, seconds, volume))
+        self._send_wav(h, wav)
+
+    def _handle_script(self, h) -> None:
+        from ..script.errors import ScriptError
+
+        try:
+            n = int(h.headers.get("Content-Length", "0"))
+        except ValueError:
+            raise _BadRequest(400, "bad Content-Length")
+        if n <= 0:
+            raise _BadRequest(400, "missing request body")
+        if n > self.max_script_bytes + 65536:
+            raise _BadRequest(413, "request body too large")
+        try:
+            body = json.loads(h.rfile.read(n))
+        except ValueError:
+            raise _BadRequest(400, "body must be JSON")
+        if not isinstance(body, dict) or not isinstance(body.get("script"), str):
+            raise _BadRequest(400, 'body must be {"script": "<zangscript>", ...}')
+        if len(body["script"].encode()) > self.max_script_bytes:
+            raise _BadRequest(413, "script too large")
+        body["seconds"] = self._seconds(body.get("seconds")) or 4.0
+        poly = int(body.get("polyphony", 2))
+        if not 1 <= poly <= self.max_polyphony:
+            raise _BadRequest(400, f"polyphony must be in 1..{self.max_polyphony}")
+        notes = body.get("notes", DEFAULT_NOTES)
+        if not isinstance(notes, (list, tuple)) or len(notes) > self.max_notes:
+            raise _BadRequest(400, f"notes must be a list of <= {self.max_notes}")
+        volume = self._volume(body.get("volume"))
+        key = "script:" + hashlib.sha256(json.dumps(
+            {k: body.get(k) for k in ("script", "module", "seconds",
+                                      "sample_rate", "polyphony", "notes",
+                                      "params")},
+            sort_keys=True, default=str).encode()).hexdigest() + f":{volume}"
+        try:
+            wav = self._render_cached(key, lambda: _render_script(body, volume))
+        except ScriptError as e:
+            raise _BadRequest(400, str(e))
+        self._send_wav(h, wav)
+
+    # -- rendering + cache -----------------------------------------------------
+
+    def _render_cached(self, key: str, render) -> bytes:
+        while True:
+            with self._lock:
+                wav = self._cache.get(key)
+                if wav is not None:
+                    self._cache.move_to_end(key)
+                    self.stats_counts["cache_hits"] += 1
+                    return wav
+                ev = self._inflight.get(key)
+                if ev is None:
+                    self._inflight[key] = threading.Event()
+                    break
+                self.stats_counts["coalesced"] += 1
+            ev.wait(timeout=600.0)  # single-flight: wait for the renderer
+        try:
+            with self._render_sem:
+                wav = render()
+            with self._lock:
+                self.stats_counts["renders"] += 1
+                self._audio_seconds += self._wav_seconds(wav)
+                self._cache[key] = wav
+                self._cache_total += len(wav)
+                while (len(self._cache) > self._cache_entries
+                       or self._cache_total > self._cache_bytes):
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_total -= len(old)
+            return wav
+        except Exception:
+            with self._lock:
+                self.stats_counts["failures"] += 1
+            raise
+        finally:
+            with self._lock:
+                self._inflight.pop(key).set()
+
+    @staticmethod
+    def _wav_seconds(wav: bytes) -> float:
+        import struct
+
+        if len(wav) < 44:
+            return 0.0
+        byte_rate = struct.unpack_from("<I", wav, 28)[0]
+        return (len(wav) - 44) / byte_rate if byte_rate else 0.0
+
+    def _seconds(self, raw) -> Optional[float]:
+        if raw is None:
+            return None
+        try:
+            s = float(raw)
+        except (TypeError, ValueError):
+            raise _BadRequest(400, "seconds must be a number")
+        if not 0.0 < s <= self.max_seconds:
+            raise _BadRequest(
+                400, f"seconds must be in (0, {self.max_seconds}]")
+        return s
+
+    @staticmethod
+    def _volume(raw) -> float:
+        if raw is None:
+            return 0.25
+        try:
+            v = float(raw)
+        except (TypeError, ValueError):
+            raise _BadRequest(400, "volume must be a number")
+        if not 0.0 <= v <= 1.0:
+            raise _BadRequest(400, "volume must be in [0, 1]")
+        return v
+
+    # -- responses -------------------------------------------------------------
+
+    @staticmethod
+    def _send_wav(h, wav: bytes) -> None:
+        h.send_response(200)
+        h.send_header("Content-Type", "audio/wav")
+        h.send_header("Content-Length", str(len(wav)))
+        h.end_headers()
+        h.wfile.write(wav)
+
+    @staticmethod
+    def _send_json(h, status: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        try:
+            h.send_response(status)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                **self.stats_counts,
+                "cached_entries": len(self._cache),
+                "cached_bytes": self._cache_total,
+                "audio_seconds_rendered": round(self._audio_seconds, 3),
+            }
+
+
+def main(argv=None) -> int:
+    """CLI: python -m zang_tpu.serve.http --port 9801"""
+    import argparse
+
+    from ..platform import apply_platform_env
+
+    apply_platform_env()
+
+    ap = argparse.ArgumentParser(
+        prog="zang-http",
+        description="HTTP WAV render service (examples + zangscript).")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9801)
+    ap.add_argument("--max-seconds", type=float, default=60.0)
+    ap.add_argument("--renders", type=int, default=2,
+                    help="max concurrent renders")
+    args = ap.parse_args(argv)
+    srv = RenderHTTPServer(host=args.host, port=args.port,
+                           max_seconds=args.max_seconds,
+                           max_concurrent_renders=args.renders)
+    srv.start()
+    print(f"zang-http serving on http://{srv.host}:{srv.port} "
+          f"(GET /v1/examples for the menu)")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

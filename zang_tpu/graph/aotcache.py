@@ -96,7 +96,36 @@ def stable_tag(obj) -> str:
         if isinstance(v, dict):
             return ("d", tuple(sorted((k, walk(x)) for k, x in v.items())))
         if callable(v):
+            import functools
+
+            if isinstance(v, functools.partial):
+                # partial has no __code__/__closure__; its identity is the
+                # wrapped callable plus the bound args
+                return ("p", walk(v.func), walk(list(v.args)),
+                        walk(dict(v.keywords)))
+            extras = []
+            bound = getattr(v, "__self__", None)
+            if bound is not None:  # bound method: instance state shapes it
+                try:
+                    extras.append(("self", walk(bound)))
+                except Exception:  # noqa: BLE001 — unhashable receiver
+                    extras.append(("self?", repr(type(bound))))
+            for attr in ("__defaults__", "__kwdefaults__"):
+                d = getattr(v, attr, None)
+                if d:
+                    try:
+                        extras.append((attr, walk(list(d) if attr ==
+                                                  "__defaults__" else d)))
+                    except Exception:  # noqa: BLE001
+                        extras.append((attr + "?", repr(d)))
             code = getattr(v, "__code__", None)
+            if code is None and not isinstance(v, type):
+                # callable instance (__call__): its public attrs are the
+                # config — without them two differently-configured
+                # instances of one class would collide
+                extras.append(("attrs", tuple(sorted(
+                    (k, walk(x)) for k, x in getattr(v, "__dict__", {}).items()
+                    if not k.startswith("_")))))
             body = _code_fingerprint(code) if code else ""
             cells = getattr(v, "__closure__", None) or ()
             captured = []
@@ -107,7 +136,7 @@ def stable_tag(obj) -> str:
                     captured.append(("?", repr(type(cell.cell_contents))))
             return ("f", getattr(v, "__module__", ""),
                     getattr(v, "__qualname__", type(v).__name__), body,
-                    tuple(captured))
+                    tuple(captured), tuple(extras))
         pub = tuple(sorted(
             (k, walk(x)) for k, x in getattr(v, "__dict__", {}).items()
             if not k.startswith("_")))

@@ -9,8 +9,11 @@ backend initialization always wins, so the CLIs funnel through here:
 
 picks the platform explicitly (any value jax.config accepts: "cpu",
 "tpu", a comma list, ...). Unset means JAX's normal default (the best
-available platform). Library callers are unaffected — only the CLI
-mains call this, and only before any device work.
+available platform). With ZANG_PLATFORM unset this is a no-op
+everywhere. When it IS set, it applies at `import zang_tpu` too (the
+package __init__ calls apply_platform_env), so embedders who export the
+variable opt their whole process in — setting it after jax's backend
+has initialized in the host process may be ineffective or error.
 """
 
 import os

@@ -87,6 +87,7 @@ def _render_script(body: dict, volume: float):
     src = body["script"]
     sr = float(body.get("sample_rate", 44100.0))
     seconds = float(body.get("seconds", 4.0))
+    assert 1.0 <= sr <= 192000.0, sr  # bounded in _handle_script
     polyphony = int(body.get("polyphony", 2))
     notes = body.get("notes", DEFAULT_NOTES)
     extra = dict(body.get("params", {}))
@@ -207,8 +208,8 @@ class RenderHTTPServer:
                 raise _BadRequest(404, f"no such endpoint: {method} {url.path}")
         except _BadRequest as e:
             self._send_json(h, e.status, {"error": e.message})
-        except BrokenPipeError:
-            pass
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client hung up mid-response; not a server failure
         except Exception as e:  # noqa: BLE001 — a request must not kill the server
             with self._lock:
                 self.stats_counts["failures"] += 1
@@ -263,9 +264,20 @@ class RenderHTTPServer:
         poly = int(body.get("polyphony", 2))
         if not 1 <= poly <= self.max_polyphony:
             raise _BadRequest(400, f"polyphony must be in 1..{self.max_polyphony}")
+        try:
+            sr = float(body.get("sample_rate", 44100.0))
+        except (TypeError, ValueError):
+            raise _BadRequest(400, "sample_rate must be a number")
+        if not 1.0 <= sr <= 192000.0:
+            raise _BadRequest(400, "sample_rate must be in [1, 192000]")
         notes = body.get("notes", DEFAULT_NOTES)
         if not isinstance(notes, (list, tuple)) or len(notes) > self.max_notes:
             raise _BadRequest(400, f"notes must be a list of <= {self.max_notes}")
+        for note in notes:
+            if (not isinstance(note, (list, tuple)) or len(note) != 3
+                    or not all(isinstance(x, (int, float)) for x in note)):
+                raise _BadRequest(
+                    400, "each note must be [t_on, duration, freq] numbers")
         volume = self._volume(body.get("volume"))
         key = "script:" + hashlib.sha256(json.dumps(
             {k: body.get(k) for k in ("script", "module", "seconds",
@@ -307,10 +319,8 @@ class RenderHTTPServer:
                     _, old = self._cache.popitem(last=False)
                     self._cache_total -= len(old)
             return wav
-        except Exception:
-            with self._lock:
-                self.stats_counts["failures"] += 1
-            raise
+        # failed renders are counted once, by _handle's generic handler
+        # (ScriptError becomes a 400 client error, deliberately not counted)
         finally:
             with self._lock:
                 self._inflight.pop(key).set()
@@ -365,6 +375,12 @@ class RenderHTTPServer:
             h.send_response(status)
             h.send_header("Content-Type", "application/json")
             h.send_header("Content-Length", str(len(data)))
+            if status >= 400:
+                # an error may leave a POST body unread on a keep-alive
+                # connection; close so the leftover bytes can't be parsed
+                # as the next request line
+                h.send_header("Connection", "close")
+                h.close_connection = True
             h.end_headers()
             h.wfile.write(data)
         except (BrokenPipeError, ConnectionResetError):

@@ -577,7 +577,17 @@ class LiveServer:
             with self._lock:
                 self._goodbyes.add(lane)
             return True
-        elif op != "hello":  # hello is answered by the welcome frame
+        elif op == "hello":  # answered by the welcome frame — but a hello
+            # naming a DIFFERENT instrument means the router mis-delivered
+            # it (e.g. a partial first frame that completed after the
+            # hello timeout); refuse rather than silently play the wrong one
+            want = msg.get("instrument")
+            if (want is not None and self.instrument_name is not None
+                    and want != self.instrument_name):
+                raise _ClientError(
+                    f"this lane serves {self.instrument_name!r}, not "
+                    f"{want!r}; reconnect and send the hello frame promptly")
+        else:
             raise _ClientError(f"unknown op {op!r}")
         return False
 
@@ -744,6 +754,7 @@ class MultiInstrumentServer:
         self._retain_dir = retain_dir
         self._common = dict(common_kwargs)
         self._backends = {}  # name -> started LiveServer (bind=False)
+        self._creating = {}  # name -> Event (per-name creation in flight)
         self._lock = threading.Lock()
         self._stop = threading.Event()
 
@@ -785,17 +796,23 @@ class MultiInstrumentServer:
 
     def backend(self, name: str) -> LiveServer:
         """The backend LiveServer for `name`, creating (and starting) it
-        on first use. Creation is serialized; the fleet's first compile
+        on first use. Creation is serialized PER NAME (a cold instrument's
+        construction must not stall routing/stats for warm ones — the
+        global lock only guards the dicts); the fleet's first compile
         happens on its render thread, off this path."""
-        with self._lock:
-            b = self._backends.get(name)
-            if b is not None:
-                return b
-            # checked under the lock: close() sets _stop before taking it,
-            # so a creation racing close() either lands in its snapshot or
-            # is refused here — no orphaned render threads
-            if self._stop.is_set():
-                raise _ClientError("server closing")
+        while True:
+            with self._lock:
+                b = self._backends.get(name)
+                if b is not None:
+                    return b
+                if self._stop.is_set():
+                    raise _ClientError("server closing")
+                ev = self._creating.get(name)
+                if ev is None:
+                    ev = self._creating[name] = threading.Event()
+                    break  # this thread creates
+            ev.wait(timeout=120.0)  # another thread is creating; re-check
+        try:
             spec = dict(self._common)
             spec.update(self._specs[name])
             if self._retain_dir is not None and "retain_dir" not in spec:
@@ -805,8 +822,21 @@ class MultiInstrumentServer:
             b = LiveServer(make_parts, sample_rate, bind=False,
                            instrument_name=name, **spec)
             b.start()
-            self._backends[name] = b
+            with self._lock:
+                if self._stop.is_set():
+                    # close() snapshotted _backends without this one; shut
+                    # it down here so no render thread is orphaned
+                    should_close = True
+                else:
+                    self._backends[name] = b
+                    should_close = False
+            if should_close:
+                b.close()
+                raise _ClientError("server closing")
             return b
+        finally:
+            with self._lock:
+                self._creating.pop(name).set()
 
     def stats(self) -> dict:
         """Aggregate + per-instrument serving stats (only instantiated
@@ -839,6 +869,13 @@ class MultiInstrumentServer:
                 try:
                     chunk = sock.recv(65536)
                 except socket.timeout:
+                    if buf:
+                        # a PARTIAL first frame is a stalled/malformed
+                        # client, not a silent one — routing it to the
+                        # default instrument would silently ignore the
+                        # instrument field when the line completes later
+                        raise _ClientError(
+                            "first frame incomplete within hello timeout")
                     break  # silent client: default instrument
                 if not chunk:
                     return  # connected and left

@@ -159,3 +159,56 @@ class TestRendering:
         assert stats["renders"] >= 1
         assert stats["audio_seconds_rendered"] > 0
         assert stats["cached_entries"] >= 1
+
+
+class TestMidiEndpoint:
+    @staticmethod
+    def _midi_b64():
+        import base64
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_midi import note_off, note_on, smf, tempo
+
+        data = smf([tempo(0, 400000),
+                    note_on(0, 69) + note_off(480, 69)
+                    + note_on(0, 72) + note_off(480, 72)])
+        return base64.b64encode(data).decode()
+
+    def test_midi_render(self, srv):
+        body = {"midi_base64": self._midi_b64(), "instrument": "nice"}
+        with _post(srv, "/v1/render/midi", body) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            sr, ch, pcm = _parse_wav(r.read())
+        assert sr == 48000 and ch == 1
+        assert np.abs(pcm[:sr]).max() > 100  # first note audible
+
+    def test_midi_bad_base64_400(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/midi", {"midi_base64": "not base64!"},
+                  timeout=30.0)
+        assert ei.value.code == 400
+
+    def test_midi_not_a_midi_file_400(self, srv):
+        import base64
+
+        blob = base64.b64encode(b"RIFFnope").decode()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/midi", {"midi_base64": blob}, timeout=30.0)
+        assert ei.value.code == 400
+        assert "MThd" in json.loads(ei.value.read())["error"]
+
+    def test_midi_script_instrument_path_rejected(self, srv):
+        # the CLI's zangscript FILE fallback must NOT be reachable over
+        # HTTP (it reads server-local files)
+        body = {"midi_base64": self._midi_b64(), "instrument": "/etc/hostname"}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/midi", body, timeout=30.0)
+        assert ei.value.code == 400
+        assert "available" in json.loads(ei.value.read())["error"]
+
+    def test_midi_in_menu(self, srv):
+        with _get(srv, "/v1/examples", timeout=10.0) as r:
+            menu = json.loads(r.read())
+        assert "/v1/render/midi" in menu["endpoints"]
+        assert "nice" in menu["midi_instruments"]

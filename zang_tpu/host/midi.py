@@ -270,23 +270,32 @@ def render_midi(
         chunk_size=min(chunk_size, max(256, total)))
 
 
-def _instrument_maker(name: str):
-    """Instrument name -> zero-arg factory: a stock serving instrument
-    (same menu as zang-serve, serve/server.py builtin_instruments) or a
-    zangscript FILE.txt[:Module]."""
-    import os
-
+def stock_instruments() -> dict:
+    """Name -> zero-arg factory for the stock example instruments (the
+    same menu zang-serve offers, serve/server.py builtin_instruments)."""
     from . import instruments as ti
 
-    stock = {
+    return {
         "nice": lambda: ti.NiceInstrument(0.3),
         "pmosc": lambda: ti.PMOscInstrument(1.0),
         "hardsquare": lambda: ti.HardSquareInstrument(),
         "filteredsaw": lambda: ti.FilteredSawtoothInstrument(),
         "weirdsquare": lambda: ti.SquareWithEnvelope(weird=True),
     }
+
+
+def _instrument_maker(name: str, allow_script: bool = True):
+    """Instrument name -> zero-arg factory: a stock serving instrument or
+    (allow_script, for trusted local callers only — it reads the named
+    file) a zangscript FILE.txt[:Module]."""
+    import os
+
+    stock = stock_instruments()
     if name in stock:
         return stock[name]
+    if not allow_script:
+        raise MidiError(
+            f"unknown instrument {name!r}; available: {sorted(stock)}")
     path, module = name, None
     if not os.path.exists(path) and ":" in path:
         path, _, module = path.rpartition(":")

@@ -9,6 +9,13 @@ family as the TCP live tier (serve/server.py) but request/response:
 
   GET  /v1/examples                        JSON menu of example configs
   GET  /v1/render?example=play&seconds=4   audio/wav (s16), rendered now
+  POST /v1/render/midi                     audio/wav; JSON body:
+        {"midi_base64": str,               a Standard MIDI File, base64
+         "instrument": str,                stock instrument name or comma
+                                           list cycled over parts
+         "seconds": float,                 cap the render length
+         "transpose": int, "velocity": bool, "group": "channel"|"track",
+         "with_drums": bool, "volume": float}
   POST /v1/render/script                   audio/wav; JSON body:
         {"script": str,                    zangscript source (required)
          "module": str,                    exported module (default: last)
@@ -122,6 +129,29 @@ def _render_script(body: dict, volume: float):
     return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
 
 
+def _render_midi(body: dict, volume: float):
+    from ..core.mixdown import mixdown_s16_np
+    from ..core.wav import encode_wav_s16
+    from ..host.midi import _instrument_maker, render_midi
+
+    # stock names only: the script fallback reads server-local files,
+    # which an HTTP client must not be able to name
+    makers = [_instrument_maker(n.strip(), allow_script=False)
+              for n in str(body.get("instrument", "nice")).split(",")]
+    sr = 48000.0
+    audio = render_midi(
+        body["_midi_bytes"],
+        lambda pi, label: makers[pi % len(makers)](),
+        sample_rate=sr,
+        seconds=body.get("seconds"),
+        group=str(body.get("group", "channel")),
+        include_velocity=bool(body.get("velocity", False)),
+        transpose=int(body.get("transpose", 0)),
+        skip_channels=() if body.get("with_drums") else (9,))
+    pcm = mixdown_s16_np(np.asarray(audio), volume)
+    return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
+
+
 class RenderHTTPServer:
     """One-port HTTP render service over the example registry + the
     zangscript compiler. See module docstring for the endpoint table."""
@@ -204,6 +234,8 @@ class RenderHTTPServer:
                 self._handle_example(h, parse_qs(url.query))
             elif method == "POST" and url.path == "/v1/render/script":
                 self._handle_script(h)
+            elif method == "POST" and url.path == "/v1/render/midi":
+                self._handle_midi(h)
             else:
                 raise _BadRequest(404, f"no such endpoint: {method} {url.path}")
         except _BadRequest as e:
@@ -217,12 +249,14 @@ class RenderHTTPServer:
 
     def _menu(self) -> dict:
         from ..host.examples import EXAMPLES
+        from ..host.midi import stock_instruments as stock_names
 
         return {
             "examples": sorted(EXAMPLES),
             "max_seconds": self.max_seconds,
-            "endpoints": ["/v1/examples", "/v1/render",
+            "endpoints": ["/v1/examples", "/v1/render", "/v1/render/midi",
                           "/v1/render/script", "/v1/stats"],
+            "midi_instruments": sorted(stock_names()),
         }
 
     def _handle_example(self, h, q: dict) -> None:
@@ -241,22 +275,28 @@ class RenderHTTPServer:
             key, lambda: _render_example(name, seconds, volume))
         self._send_wav(h, wav)
 
-    def _handle_script(self, h) -> None:
-        from ..script.errors import ScriptError
-
+    def _read_json_body(self, h, slack: int = 65536) -> dict:
         try:
             n = int(h.headers.get("Content-Length", "0"))
         except ValueError:
             raise _BadRequest(400, "bad Content-Length")
         if n <= 0:
             raise _BadRequest(400, "missing request body")
-        if n > self.max_script_bytes + 65536:
+        if n > self.max_script_bytes * 6 + slack:
             raise _BadRequest(413, "request body too large")
         try:
             body = json.loads(h.rfile.read(n))
         except ValueError:
             raise _BadRequest(400, "body must be JSON")
-        if not isinstance(body, dict) or not isinstance(body.get("script"), str):
+        if not isinstance(body, dict):
+            raise _BadRequest(400, "body must be a JSON object")
+        return body
+
+    def _handle_script(self, h) -> None:
+        from ..script.errors import ScriptError
+
+        body = self._read_json_body(h)
+        if not isinstance(body.get("script"), str):
             raise _BadRequest(400, 'body must be {"script": "<zangscript>", ...}')
         if len(body["script"].encode()) > self.max_script_bytes:
             raise _BadRequest(413, "script too large")
@@ -287,6 +327,46 @@ class RenderHTTPServer:
         try:
             wav = self._render_cached(key, lambda: _render_script(body, volume))
         except ScriptError as e:
+            raise _BadRequest(400, str(e))
+        self._send_wav(h, wav)
+
+    def _handle_midi(self, h) -> None:
+        from ..host.midi import MidiError
+
+        body = self._read_json_body(h)
+        raw = body.get("midi_base64")
+        if not isinstance(raw, str):
+            raise _BadRequest(
+                400, 'body must be {"midi_base64": "<base64 SMF>", ...}')
+        import base64
+
+        try:
+            data = base64.b64decode(raw, validate=True)
+        except Exception:  # noqa: BLE001 — binascii.Error subclasses vary
+            raise _BadRequest(400, "midi_base64 is not valid base64")
+        if len(data) > self.max_script_bytes * 4:
+            raise _BadRequest(413, "MIDI file too large")
+        # a long file (or one with huge delta ticks) must not exceed the
+        # service's render budget even without an explicit seconds field
+        body["seconds"] = self._seconds(body.get("seconds")) or self.max_seconds
+        if body.get("group", "channel") not in ("channel", "track"):
+            raise _BadRequest(400, "group must be 'channel' or 'track'")
+        try:
+            body["transpose"] = int(body.get("transpose", 0))
+        except (TypeError, ValueError):
+            raise _BadRequest(400, "transpose must be an integer")
+        if not -96 <= body["transpose"] <= 96:
+            raise _BadRequest(400, "transpose must be in [-96, 96]")
+        volume = self._volume(body.get("volume"))
+        body["_midi_bytes"] = data
+        key = "midi:" + hashlib.sha256(json.dumps(
+            {k: body.get(k) for k in ("midi_base64", "instrument", "seconds",
+                                      "group", "velocity", "transpose",
+                                      "with_drums")},
+            sort_keys=True, default=str).encode()).hexdigest() + f":{volume}"
+        try:
+            wav = self._render_cached(key, lambda: _render_midi(body, volume))
+        except MidiError as e:
             raise _BadRequest(400, str(e))
         self._send_wav(h, wav)
 

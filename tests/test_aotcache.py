@@ -102,6 +102,56 @@ class TestKeys:
         assert aotcache.stable_tag(make(1.0)) == aotcache.stable_tag(
             make(1.0))
 
+    def test_partial_bound_args_key_tag(self):
+        # functools.partial has no __code__/__closure__; the bound args
+        # must key the tag or two configs collide onto one disk entry
+        import functools
+
+        def fx(x, wet):
+            return x * wet
+
+        a = functools.partial(fx, wet=0.2)
+        b = functools.partial(fx, wet=0.9)
+        assert aotcache.stable_tag(a) != aotcache.stable_tag(b)
+        assert aotcache.stable_tag(a) == aotcache.stable_tag(
+            functools.partial(fx, wet=0.2))
+
+    def test_bound_method_receiver_keys_tag(self):
+        class Eff:
+            def __init__(self, gain):
+                self.gain = gain
+
+            def apply(self, x):
+                return x * self.gain
+
+        assert aotcache.stable_tag(Eff(1.0).apply) != aotcache.stable_tag(
+            Eff(2.0).apply)
+        assert aotcache.stable_tag(Eff(1.5).apply) == aotcache.stable_tag(
+            Eff(1.5).apply)
+
+    def test_callable_instance_attrs_key_tag(self):
+        class Gain:
+            def __init__(self, g):
+                self.g = g
+
+            def __call__(self, x):
+                return x * self.g
+
+        assert aotcache.stable_tag(Gain(1.0)) != aotcache.stable_tag(
+            Gain(2.0))
+        assert aotcache.stable_tag(Gain(3.0)) == aotcache.stable_tag(
+            Gain(3.0))
+
+    def test_default_args_key_tag(self):
+        def f(x, k=1.0):
+            return x * k
+
+        def g(x, k=2.0):
+            return x * k
+
+        # identical bytecode, different defaults
+        assert aotcache.stable_tag(f) != aotcache.stable_tag(g)
+
     def test_env_knobs_key_performance_tag(self, monkeypatch):
         p = _perf(2048)
         t1 = aotcache.performance_tag(p, 1024)

@@ -158,6 +158,40 @@ class TestKeys:
         monkeypatch.setenv("ZANG_SVF_TABLE", "0")
         assert aotcache.performance_tag(p, 1024) != t1
 
+    def test_unfingerprintable_receiver_is_uncacheable(self):
+        # a receiver walk() cannot fingerprint (self-referential attrs ->
+        # RecursionError) must NOT degrade to a type repr in strict mode:
+        # two differently-configured receivers of one class would collide
+        # onto one disk key (stale-executable-as-hit). Disk-key callers
+        # catch Uncacheable and fall back to plain jit.
+        class Weird:
+            def __init__(self):
+                self.loop = self
+
+            def apply(self, x):
+                return x
+
+        with pytest.raises(aotcache.Uncacheable):
+            aotcache.stable_tag(Weird().apply)
+        # snapshot fingerprints opt into the degraded (non-colliding-risk-
+        # accepted) behavior explicitly
+        assert isinstance(aotcache.stable_tag(Weird().apply, strict=False),
+                          str)
+
+    def test_unfingerprintable_closure_capture_is_uncacheable(self):
+        class Weird:
+            def __init__(self):
+                self.loop = self
+
+        w = Weird()
+
+        def f(x):
+            return (x, w)
+
+        with pytest.raises(aotcache.Uncacheable):
+            aotcache.stable_tag(f)
+        assert isinstance(aotcache.stable_tag(f, strict=False), str)
+
     def test_cache_key_depends_on_arg_shapes(self):
         k1 = aotcache.cache_key("t", (np.zeros((4,), np.float32),))
         k2 = aotcache.cache_key("t", (np.zeros((8,), np.float32),))

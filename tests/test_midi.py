@@ -82,6 +82,54 @@ class TestParser:
         with pytest.raises(MidiError):  # SMPTE division
             parse_smf(smf([note_on(0, 60)], division=0xE250))
 
+    def test_truncated_events_raise_midierror_not_indexerror(self):
+        # crafted tracks whose declared length cuts an event short must
+        # fail as MidiError (the HTTP tier's 400), never IndexError, and
+        # never read past the track end into following bytes
+        whole = smf([note_on(0, 60) + note_off(480, 60)])
+
+        def cut(data: bytes, keep: int) -> bytes:
+            # shrink the declared MTrk length to `keep` body bytes
+            head, hdr, body = data[:14], data[14:22], data[22:]
+            return (head + hdr[:4] + keep.to_bytes(4, "big")
+                    + body[:keep])
+
+        body_len = int.from_bytes(whole[18:22], "big")
+        # body = note-on(4B) + note-off(5B) + end-meta(4B): keeps at the
+        # clean event boundaries {4, 9} parse fine (no end-of-track meta is
+        # tolerated); every mid-event cut must raise
+        for keep in set(range(1, body_len)) - {4, 9}:
+            with pytest.raises(MidiError):
+                parse_smf(cut(whole, keep))
+        # a status byte whose data bytes live in the NEXT track must not
+        # be silently consumed from there
+        t1 = varlen(0) + bytes([0x90])  # note-on missing key+vel
+        hdr = b"MTrk" + len(t1).to_bytes(4, "big") + t1
+        full = (b"MThd" + (6).to_bytes(4, "big") + (1).to_bytes(2, "big")
+                + (2).to_bytes(2, "big") + (480).to_bytes(2, "big")
+                + hdr + track(note_on(0, 72) + note_off(10, 72)))
+        with pytest.raises(MidiError):
+            parse_smf(full)
+
+    def test_dense_tempo_map_fast_and_exact(self):
+        # tempo index: per-event lookup is O(log T); result matches the
+        # definitional per-segment accumulation
+        evs = b"".join(tempo(10, 500000 - i * 100) for i in range(500))
+        m = parse_smf(smf([evs]))
+
+        def slow_seconds(tick):
+            t, last, uspq = 0.0, 0, 500000
+            for tt, uu in m.tempos:
+                if tt >= tick:
+                    break
+                t += (tt - last) * uspq * 1e-6 / m.division
+                last, uspq = tt, uu
+            return t + (tick - last) * uspq * 1e-6 / m.division
+
+        for tick in (0, 5, 10, 15, 2501, 4999, 5000, 9999):
+            assert m.seconds(tick) == pytest.approx(slow_seconds(tick),
+                                                    rel=1e-12)
+
 
 class TestTiming:
     def test_default_tempo(self):
@@ -205,3 +253,18 @@ class TestRender:
     def test_empty_file_rejected(self):
         with pytest.raises(MidiError):
             render_midi(smf([b""]), lambda pi, label: None)
+
+    def test_part_and_event_caps(self):
+        # group='track' with many minimal tracks: the cap must refuse
+        # before any instrument is built or graph traced
+        data = smf([note_on(0, 60 + i % 12) + note_off(10, 60 + i % 12)
+                    for i in range(20)])
+        built = []
+        with pytest.raises(MidiError, match="parts"):
+            render_midi(data, lambda pi, label: built.append(pi),
+                        group="track", max_parts=16)
+        assert built == []
+        with pytest.raises(MidiError, match="events"):
+            render_midi(data, lambda pi, label: built.append(pi),
+                        group="track", max_events=30)
+        assert built == []

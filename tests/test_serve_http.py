@@ -207,6 +207,41 @@ class TestMidiEndpoint:
         assert ei.value.code == 400
         assert "available" in json.loads(ei.value.read())["error"]
 
+    def test_midi_part_cap_400(self, srv):
+        # a tiny SMF of many minimal tracks with group=track must be
+        # refused (part cap), not instantiate thousands of instruments
+        import base64
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_midi import note_off, note_on, smf
+
+        data = smf([note_on(0, 60 + i % 12) + note_off(10, 60 + i % 12)
+                    for i in range(24)])
+        body = {"midi_base64": base64.b64encode(data).decode(),
+                "group": "track"}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/midi", body, timeout=30.0)
+        assert ei.value.code == 400
+        assert "parts" in json.loads(ei.value.read())["error"]
+
+    def test_midi_truncated_file_400(self, srv):
+        # a truncated track body must surface as 400 (MidiError), not a
+        # 500 from an IndexError
+        import base64
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_midi import note_on, smf
+
+        whole = smf([note_on(0, 60)])
+        cut = (whole[:18] + (2).to_bytes(4, "big") + whole[22:24])
+        body = {"midi_base64": base64.b64encode(cut).decode()}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/midi", body, timeout=30.0)
+        assert ei.value.code == 400
+        assert "truncated" in json.loads(ei.value.read())["error"]
+
     def test_midi_in_menu(self, srv):
         with _get(srv, "/v1/examples", timeout=10.0) as r:
             menu = json.loads(r.read())

@@ -41,6 +41,14 @@ import jax
 
 _ENV = "ZANG_AOT_CACHE"
 
+
+class Uncacheable(Exception):
+    """stable_tag could not fingerprint part of the object (unhashable
+    receiver/default/closure capture). A disk key built from a degraded
+    repr could collide across distinct configs — the stale-executable-as-
+    hit failure mode — so disk-cache callers must catch this and fall back
+    to a plain jax.jit for the graph."""
+
 # env knobs that change the TRACED graph (kernel selection / interpret
 # modes) and therefore must key the disk cache. ZANG_LIVE_INC & friends
 # only steer host-side planning, not traces.
@@ -72,12 +80,19 @@ def _code_fingerprint(code) -> str:
     return h.hexdigest()
 
 
-def stable_tag(obj) -> str:
+def stable_tag(obj, strict: bool = True) -> str:
     """A process-stable description of anything that shapes a traced graph
     (instrument configs, callables, chunk policy...). Unlike
     serve.batch._leaf_key, callables hash by (module, qualname, bytecode)
     instead of id() — required for a key that lives on disk. Opaque
-    non-callable objects hash by repr of their public attrs."""
+    non-callable objects hash by repr of their public attrs.
+
+    strict=True (the default, for disk keys): any value that cannot be
+    walked raises Uncacheable instead of degrading to a type repr — two
+    differently-configured receivers of one class must never collide onto
+    one disk key. strict=False (snapshot fingerprints, where a refused
+    restore is worse than a theoretical collision) keeps the degraded
+    repr fallbacks."""
 
     def walk(v):
         import numpy as np
@@ -108,7 +123,13 @@ def stable_tag(obj) -> str:
             if bound is not None:  # bound method: instance state shapes it
                 try:
                     extras.append(("self", walk(bound)))
-                except Exception:  # noqa: BLE001 — unhashable receiver
+                except Uncacheable:
+                    raise
+                except Exception as e:  # noqa: BLE001 — unhashable receiver
+                    if strict:
+                        raise Uncacheable(
+                            f"bound-method receiver {type(bound)!r} cannot "
+                            f"be fingerprinted") from e
                     extras.append(("self?", repr(type(bound))))
             for attr in ("__defaults__", "__kwdefaults__"):
                 d = getattr(v, attr, None)
@@ -116,7 +137,13 @@ def stable_tag(obj) -> str:
                     try:
                         extras.append((attr, walk(list(d) if attr ==
                                                   "__defaults__" else d)))
-                    except Exception:  # noqa: BLE001
+                    except Uncacheable:
+                        raise
+                    except Exception as e:  # noqa: BLE001
+                        if strict:
+                            raise Uncacheable(
+                                f"{attr} of {v!r} cannot be "
+                                f"fingerprinted") from e
                         extras.append((attr + "?", repr(d)))
             code = getattr(v, "__code__", None)
             if code is None and not isinstance(v, type):
@@ -132,7 +159,13 @@ def stable_tag(obj) -> str:
             for cell in cells:
                 try:
                     captured.append(walk(cell.cell_contents))
-                except Exception:  # noqa: BLE001 — unhashable capture
+                except Uncacheable:
+                    raise
+                except Exception as e:  # noqa: BLE001 — unhashable capture
+                    if strict:
+                        raise Uncacheable(
+                            f"closure capture {type(cell.cell_contents)!r} "
+                            f"cannot be fingerprinted") from e
                     captured.append(("?", repr(type(cell.cell_contents))))
             return ("f", getattr(v, "__module__", ""),
                     getattr(v, "__qualname__", type(v).__name__), body,

@@ -206,8 +206,12 @@ def render_performance(
 
         cache_dir = aot_cache or aotcache.default_cache_dir()
         if cache_dir:
-            tag = "render:" + aotcache.performance_tag(perf, chunk_size)
-            fn, _status = aotcache.aot_compile(run, args, tag, cache_dir)
+            try:
+                tag = "render:" + aotcache.performance_tag(perf, chunk_size)
+            except aotcache.Uncacheable:
+                fn = jax.jit(run)  # unfingerprintable config: never risk
+            else:  # a colliding disk key (stale-executable-as-hit)
+                fn, _status = aotcache.aot_compile(run, args, tag, cache_dir)
         else:
             fn = jax.jit(run)
     audio = fn(*args)

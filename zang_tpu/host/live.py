@@ -274,9 +274,12 @@ class LiveSession:
             # ZANG_AOT_CACHE: a session restart (same instrument spec and
             # slot capacity) loads the block step's executable from disk
             # instead of compiling on the interactive path.
-            tag = "live:" + aotcache.stable_tag(
-                ([(p.instrument, p.polyphony) for p in self.parts],
-                 self.post_fn, self.num_channels, self.block_size))
+            try:
+                tag = "live:" + aotcache.stable_tag(
+                    ([(p.instrument, p.polyphony) for p in self.parts],
+                     self.post_fn, self.num_channels, self.block_size))
+            except aotcache.Uncacheable:
+                return jax.jit(self._step_body())
             return aotcache.AotDispatch(self._step_body(), tag)
         return jax.jit(self._step_body())
 
@@ -400,8 +403,11 @@ class LiveSession:
 
         return (
             self.sample_rate, self.block_size, self.num_channels,
-            tuple((aotcache.stable_tag(p.instrument), p.polyphony,
-                   p.planner is not None) for p in self.parts),
+            # strict=False: a fingerprint that refuses to compute would
+            # block ALL snapshots of that spec; the degraded repr only
+            # weakens cross-config refusal for unfingerprintable configs
+            tuple((aotcache.stable_tag(p.instrument, strict=False),
+                   p.polyphony, p.planner is not None) for p in self.parts),
             self.post_fn is not None,
         )
 

@@ -44,23 +44,46 @@ class Smf:
     # per input track: (abs_tick, channel, key, velocity) — velocity 0 = off
     notes: List[List[Tuple[int, int, int, int]]]
     tempos: List[Tuple[int, int]] = field(default_factory=list)  # (tick, uspq)
+    # lazy cumulative tempo index: (seg_ticks, seg_seconds, seg_uspq, n)
+    _cum: Optional[tuple] = field(
+        default=None, repr=False, compare=False)
+
+    def _tempo_index(self) -> tuple:
+        """Cumulative seconds per tempo segment, built once — seconds() is
+        called per note event, and a set-tempo-dense file would otherwise
+        cost O(notes * tempos) rescans."""
+        cache = self._cum
+        if cache is None or cache[3] != len(self.tempos):
+            ticks, secs, uspqs = [0], [0.0], [DEFAULT_USPQ]
+            for tt, uu in self.tempos:
+                if tt <= ticks[-1]:
+                    # duplicate tick (or tick 0): the later tempo governs
+                    uspqs[-1] = uu
+                    continue
+                secs.append(secs[-1]
+                            + (tt - ticks[-1]) * uspqs[-1] * 1e-6
+                            / self.division)
+                ticks.append(tt)
+                uspqs.append(uu)
+            cache = (ticks, secs, uspqs, len(self.tempos))
+            object.__setattr__(self, "_cum", cache)
+        return cache
 
     def seconds(self, tick: int) -> float:
-        """Absolute tick -> seconds through the merged tempo map."""
-        t = 0.0
-        last_tick, uspq = 0, DEFAULT_USPQ
-        for tt, uu in self.tempos:
-            if tt >= tick:
-                break
-            t += (tt - last_tick) * uspq * 1e-6 / self.division
-            last_tick, uspq = tt, uu
-        return t + (tick - last_tick) * uspq * 1e-6 / self.division
+        """Absolute tick -> seconds through the merged tempo map
+        (O(log tempos) via the cumulative index)."""
+        import bisect
+
+        ticks, secs, uspqs, _n = self._tempo_index()
+        j = max(0, bisect.bisect_right(ticks, tick) - 1)
+        return secs[j] + (tick - ticks[j]) * uspqs[j] * 1e-6 / self.division
 
 
-def _varlen(data: bytes, i: int) -> Tuple[int, int]:
+def _varlen(data: bytes, i: int, end: Optional[int] = None) -> Tuple[int, int]:
+    limit = len(data) if end is None else end
     v = 0
     for _ in range(4):
-        if i >= len(data):
+        if i >= limit:
             raise MidiError("truncated variable-length quantity")
         b = data[i]
         i += 1
@@ -103,9 +126,18 @@ def parse_smf(data: bytes) -> Smf:
         notes: List[Tuple[int, int, int, int]] = []
         tick = 0
         status = 0
+
+        # every data-byte read is bounded by the track's declared `end`:
+        # a truncated/crafted file must fail as MidiError (HTTP tier: 400),
+        # never IndexError, and never silently read into the next track
+        def need(pos: int, n: int) -> None:
+            if pos + n > end:
+                raise MidiError("truncated track")
+
         while i < end:
-            dt, i = _varlen(data, i)
+            dt, i = _varlen(data, i, end)
             tick += dt
+            need(i, 1)
             b = data[i]
             if b & 0x80:
                 status = b
@@ -115,18 +147,23 @@ def parse_smf(data: bytes) -> Smf:
             kind = status & 0xF0
             ch = status & 0x0F
             if kind in (0x80, 0x90):  # note off / note on
+                need(i, 2)
                 key, vel = data[i], data[i + 1]
                 i += 2
                 if kind == 0x80:
                     vel = 0  # note-off velocity is release info; drop it
                 notes.append((tick, ch, key, vel))
             elif kind in (0xA0, 0xB0, 0xE0):  # 2-byte channel messages
+                need(i, 2)
                 i += 2
             elif kind in (0xC0, 0xD0):  # 1-byte channel messages
+                need(i, 1)
                 i += 1
             elif status == 0xFF:  # meta
+                need(i, 1)
                 mtype = data[i]
-                mlen, i = _varlen(data, i + 1)
+                mlen, i = _varlen(data, i + 1, end)
+                need(i, mlen)
                 if mtype == 0x51 and mlen == 3:
                     smf.tempos.append(
                         (tick, int.from_bytes(data[i:i + 3], "big")))
@@ -134,7 +171,8 @@ def parse_smf(data: bytes) -> Smf:
                 if mtype == 0x2F:  # end of track
                     break
             elif status in (0xF0, 0xF7):  # sysex
-                slen, i = _varlen(data, i)
+                slen, i = _varlen(data, i, end)
+                need(i, slen)
                 i += slen
             else:
                 raise MidiError(f"unhandled status byte 0x{status:02x}")
@@ -240,6 +278,8 @@ def render_midi(
     tail: float = 2.0,
     polyphony: Optional[int] = None,
     chunk_size: int = 16384,
+    max_parts: Optional[int] = None,
+    max_events: Optional[int] = None,
     **song_kwargs,
 ) -> np.ndarray:
     """Render SMF bytes to f32 audio [channels, frames].
@@ -247,6 +287,11 @@ def render_midi(
     make_instrument(part_index, label) -> instrument; polyphony defaults
     to each part's measured peak concurrency (capped at 16). Length is
     the last event + `tail` seconds of release unless `seconds` caps it.
+
+    max_parts / max_events bound the render's cost for untrusted input
+    (the HTTP tier sets both): group='track' is otherwise uncapped — a
+    small SMF of minimal tracks yields thousands of parts, each an
+    instrument instance unrolled into the traced graph.
     """
     from ..core.timeline import compile_timelines
     from ..graph.render import Performance, render_performance
@@ -254,6 +299,16 @@ def render_midi(
     parts = midi_songs(data, **song_kwargs)
     if not any(song for _l, song, _p in parts):
         raise MidiError("MIDI file contains no notes")
+    nonempty = sum(1 for _l, song, _p in parts if song)
+    if max_parts is not None and nonempty > max_parts:
+        raise MidiError(
+            f"MIDI file has {nonempty} non-empty parts; this renderer "
+            f"accepts at most {max_parts} (try group='channel')")
+    total_events = sum(len(song) for _l, song, _p in parts)
+    if max_events is not None and total_events > max_events:
+        raise MidiError(
+            f"MIDI file has {total_events} note events; this renderer "
+            f"accepts at most {max_events}")
     length = max(ev.t for _l, song, _p in parts for ev in song) + tail
     if seconds is not None:
         length = min(length, seconds)

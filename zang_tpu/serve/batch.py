@@ -279,8 +279,11 @@ class SharedGraphCache:
             # ZANG_AOT_CACHE: persist compiled segment graphs, so a server
             # restart (same instruments) skips the cold compile entirely.
             # NOTE: cache hits skip tracing, so `traces` stays 0 for them.
-            tag = ("serve:" + aotcache.performance_tag(perf, chunk_size)
-                   + f":{segment_chunks}:{emit}")
+            try:
+                tag = ("serve:" + aotcache.performance_tag(perf, chunk_size)
+                       + f":{segment_chunks}:{emit}")
+            except aotcache.Uncacheable:
+                return jax.jit(seg_fn)
             return aotcache.AotDispatch(seg_fn, tag)
         return jax.jit(seg_fn)
 

@@ -147,6 +147,12 @@ def _render_midi(body: dict, volume: float):
         group=str(body.get("group", "channel")),
         include_velocity=bool(body.get("velocity", False)),
         transpose=int(body.get("transpose", 0)),
+        # group='track' is otherwise uncapped: a tiny SMF of minimal
+        # tracks would instantiate thousands of instruments and unroll
+        # them all into one traced graph — bound parts like MIDI's 16
+        # channels and events like the script tier's note budget
+        max_parts=body["_max_parts"],
+        max_events=body["_max_events"],
         skip_channels=() if body.get("with_drums") else (9,))
     pcm = mixdown_s16_np(np.asarray(audio), volume)
     return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
@@ -359,6 +365,8 @@ class RenderHTTPServer:
             raise _BadRequest(400, "transpose must be in [-96, 96]")
         volume = self._volume(body.get("volume"))
         body["_midi_bytes"] = data
+        body["_max_parts"] = 16  # mirror MIDI's channel count
+        body["_max_events"] = max(self.max_notes * 8, 4096)
         key = "midi:" + hashlib.sha256(json.dumps(
             {k: body.get(k) for k in ("midi_base64", "instrument", "seconds",
                                       "group", "velocity", "transpose",

@@ -449,11 +449,15 @@ class LiveFleet:
             # the vmapped step from disk — no compile on the serving path
             # (complements prewarm, which only hides the cost).
             sess = self.lanes[0]
-            tag = "fleet:" + aotcache.stable_tag(
-                ([(p.instrument, p.polyphony) for p in sess.parts],
-                 sess.post_fn, sess.num_channels, sess.block_size,
-                 self._pcm16_volume))
-            self._step = aotcache.AotDispatch(jax.vmap(lane_step), tag)
+            try:
+                tag = "fleet:" + aotcache.stable_tag(
+                    ([(p.instrument, p.polyphony) for p in sess.parts],
+                     sess.post_fn, sess.num_channels, sess.block_size,
+                     self._pcm16_volume))
+            except aotcache.Uncacheable:
+                self._step = jax.jit(jax.vmap(lane_step))
+            else:
+                self._step = aotcache.AotDispatch(jax.vmap(lane_step), tag)
         else:
             self._step = jax.jit(jax.vmap(lane_step))
         self._step_capacity = self.lanes[0].slot_capacity

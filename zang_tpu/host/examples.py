@@ -621,110 +621,11 @@ def ex_mouse(seconds=4.0):
 
 # ---------------------------------------------------------------------------
 # example_fmsynth (examples/example_fmsynth.zig): OPL-style 2-operator FM,
-# 8-voice polyphony, feedback on the modulator, tremolo/vibrato LFOs.
+# 8-voice polyphony. The instrument (with the reference's full 22-parameter
+# live surface) lives in host/instruments.py; re-exported here because the
+# offline config and its tests address it as an example.
 
-
-def _opl_volume(v):
-    db = 0.0
-    for bit, d in ((32, -24.0), (16, -12.0), (8, -6.0), (4, -3.0),
-                   (2, -1.5), (1, -0.75)):
-        if v & bit:
-            db += d
-    return float(F32(np.exp2(F32(db / 6.0))))  # decibels(): 2^(db/6)
-
-
-def _opl_adr(v):
-    return float(F32(0.002 + 4.0 * (1.0 - v / 15.0) ** 3))
-
-
-def _opl_sustain(v):
-    db = 0.0
-    for bit, d in ((8, -24.0), (4, -12.0), (2, -6.0), (1, -3.0)):
-        if v & bit:
-            db += d
-    return float(F32(np.exp2(F32(db / 6.0))))
-
-
-_FREQ_MUL = [0.5] + [float(x) for x in range(1, 11)] + [10.0, 12.0, 12.0, 15.0, 15.0]
-
-
-class FMSynthInstrument:
-    """algorithm 1 (phase modulation) with the defaults of the example's
-    parameter list (example_fmsynth.zig:375-398)."""
-
-    def __init__(self, mod_freq_mul=2, mod_waveform=0, mod_volume=12,
-                 mod_adr=(8, 8, 8, 8), mod_feedback=3, car_freq_mul=1,
-                 car_waveform=0, car_volume=0, car_adr=(8, 8, 8, 8),
-                 algorithm=1):
-        self.mod = dict(freq_mul=_FREQ_MUL[mod_freq_mul], waveform=mod_waveform,
-                        volume=_opl_volume(mod_volume),
-                        attack=_opl_adr(mod_adr[0]), decay=_opl_adr(mod_adr[1]),
-                        sustain=_opl_sustain(mod_adr[2]),
-                        release=_opl_adr(mod_adr[3]),
-                        feedback=[0.0, np.pi / 16, np.pi / 8, np.pi / 4,
-                                  np.pi / 2, np.pi, 2 * np.pi, 4 * np.pi][mod_feedback])
-        self.car = dict(freq_mul=_FREQ_MUL[car_freq_mul], waveform=car_waveform,
-                        volume=_opl_volume(car_volume),
-                        attack=_opl_adr(car_adr[0]), decay=_opl_adr(car_adr[1]),
-                        sustain=_opl_sustain(car_adr[2]),
-                        release=_opl_adr(car_adr[3]), feedback=0.0)
-        self.algorithm = algorithm
-
-    def _env(self, timelines, sample_rate, op):
-        env_const = {"attack": PaintCurve.cubed(op["attack"]),
-                     "decay": PaintCurve.cubed(op["decay"]),
-                     "release": PaintCurve.cubed(op["release"]),
-                     "sustain_volume": op["sustain"]}
-        segs = [control.compile_envelope(
-            tl, sample_rate,
-            lambda k, p: {**env_const, "note_on": bool(p["note_on"])})
-            for tl in timelines]
-        return control.painter_program(segs, timelines[0].total)
-
-    def plan(self, timelines, sample_rate):
-        prog = {"active_from": active_from(timelines)}
-        prog["mod_env"] = self._env(timelines, sample_rate, self.mod)
-        prog["car_env"] = self._env(timelines, sample_rate, self.car)
-        freq = np.zeros((len(timelines), max(1, max(len(t.starts) for t in timelines))),
-                        dtype=np.float32)
-        starts = np.full_like(freq, timelines[0].total, dtype=np.int64)
-        for v, tl in enumerate(timelines):
-            k = len(tl.starts)
-            if k:
-                freq[v, :k] = tl.param_f32(lambda p: F32(p["freq"]))
-                freq[v, k:] = freq[v, k - 1]
-                starts[v, :k] = tl.starts
-        prog["freqs"] = SegProgram(starts=starts.astype(np.int64),
-                                   values={"freq": freq})
-        return prog
-
-    def init_state(self, num_voices):
-        z = lambda: jnp.zeros((num_voices,), jnp.float32)
-        return {"mod_cnt": jnp.zeros((num_voices,), jnp.uint32),
-                "car_cnt": jnp.zeros((num_voices,), jnp.uint32),
-                "mod_fb1": z(), "mod_fb2": z()}
-
-    def render(self, state, prog, ctx):
-        act = ctx.t_idx[None, :] >= jnp.asarray(prog["active_from"])[:, None]
-        freq = eval_chunk(prog["freqs"], ctx.t_idx)["freq"]
-        mod_cnt, (fb1, fb2), mod_out = fm.fm_osc(
-            state["mod_cnt"], freq * jnp.float32(self.mod["freq_mul"]), 0.0,
-            self.mod["waveform"], self.mod["feedback"],
-            (state["mod_fb1"], state["mod_fb2"]), ctx.sample_rate, act)
-        mod_env = control.eval_painter(eval_chunk(prog["mod_env"], ctx.t_idx), ctx.t_idx)
-        mod_sig = mod_out * jnp.float32(self.mod["volume"]) * mod_env
-        car_cnt, _, car_out = fm.fm_osc(
-            state["car_cnt"], freq * jnp.float32(self.car["freq_mul"]),
-            mod_sig if self.algorithm == 1 else 0.0,
-            self.car["waveform"], 0.0,
-            (jnp.zeros_like(fb1), jnp.zeros_like(fb2)), ctx.sample_rate, act)
-        car_env = control.eval_painter(eval_chunk(prog["car_env"], ctx.t_idx), ctx.t_idx)
-        out = car_out * jnp.float32(self.car["volume"]) * car_env
-        if self.algorithm == 0:
-            out = out + mod_sig * control.eval_painter(
-                eval_chunk(prog["mod_env"], ctx.t_idx), ctx.t_idx)
-        return {"mod_cnt": mod_cnt, "car_cnt": car_cnt,
-                "mod_fb1": fb1, "mod_fb2": fb2}, out
+from .instruments import FMSynthInstrument  # noqa: E402
 
 
 def ex_fmsynth(seconds=4.0):

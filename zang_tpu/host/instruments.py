@@ -12,7 +12,7 @@ Audio math follows the reference composites' expression order so outputs
 match the oracle bit-tightly.
 """
 
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -21,8 +21,9 @@ import jax.numpy as jnp
 from ..core.curves import PaintCurve
 from ..core.timeline import SubvoiceTimeline, active_from
 from ..core import twelve_tet
-from ..ops import control, filters, oscillators
+from ..ops import control, filters, fm, oscillators
 from ..ops.segprog import SegProgram, eval_chunk
+from .params import ParamSpec
 
 F32 = np.float32
 
@@ -347,3 +348,346 @@ class SquareWithEnvelope:
             cnt, ifreq, 0.3 if self.weird else 0.5, valid & act
         )
         return state, osc * _env(prog, ctx)
+
+
+# ---------------------------------------------------------------------------
+# example_fmsynth (examples/example_fmsynth.zig): OPL-style 2-operator FM,
+# feedback on the modulator, tremolo/vibrato LFOs, and the reference host's
+# 22 live parameters (example_fmsynth.zig:375-398) exposed through the
+# ParamSpec protocol (host/params.py) so a running LiveSession can change
+# any of them without recompiling the device step.
+
+
+def _opl_volume(v):
+    """OPL volume bits -> linear gain (example_fmsynth.zig:146-156;
+    decibels() here is 2^(db/6), the framework's long-standing mapping)."""
+    db = 0.0
+    for bit, d in ((32, -24.0), (16, -12.0), (8, -6.0), (4, -3.0),
+                   (2, -1.5), (1, -0.75)):
+        if v & bit:
+            db += d
+    return float(F32(np.exp2(F32(db / 6.0))))
+
+
+def _opl_adr(v):
+    """Attack/decay/release index -> seconds (example_fmsynth.zig:160-171)."""
+    return float(F32(0.002 + 4.0 * (1.0 - v / 15.0) ** 3))
+
+
+def _opl_sustain(v):
+    """Sustain bits -> level (example_fmsynth.zig:163-169)."""
+    db = 0.0
+    for bit, d in ((8, -24.0), (4, -12.0), (2, -6.0), (1, -3.0)):
+        if v & bit:
+            db += d
+    return float(F32(np.exp2(F32(db / 6.0))))
+
+
+def _tremolo_amount(flag, depth):
+    """Tremolo flag+depth -> modulation amount (example_fmsynth.zig:173-181;
+    decibels(db) = 10^(db/20) as in the reference)."""
+    if not flag:
+        return 0.0
+    db = -1.0 if depth == 0 else -4.8
+    return float(F32(1.0 - 10.0 ** (db / 20.0)))
+
+
+def _vibrato_amount(flag, depth):
+    """Vibrato flag+depth -> relative frequency swing
+    (example_fmsynth.zig:183-191: 2^(cents/1200) - 1)."""
+    if not flag:
+        return 0.0
+    cents = 7.0 if depth == 0 else 14.0
+    return float(F32(2.0 ** (cents / 1200.0) - 1.0))
+
+
+# freq_mul index -> multiplier (example_fmsynth.zig:134-144)
+_FREQ_MUL = [0.5] + [float(x) for x in range(1, 11)] + [10.0, 12.0, 12.0, 15.0, 15.0]
+
+# modulator feedback index -> phase offset gain (example_fmsynth.zig:193-203)
+_FEEDBACK = [0.0, np.pi / 16, np.pi / 8, np.pi / 4,
+             np.pi / 2, np.pi, 2 * np.pi, 4 * np.pi]
+
+# the two MainModule-level LFOs (example_fmsynth.zig:437-451)
+_TREMOLO_HZ = 3.7
+_VIBRATO_HZ = 6.4
+
+# device param vector layout (render() reads prog["__params__"] by index)
+_FM_DEV = ("mod_freq_mul", "mod_waveform", "mod_volume", "mod_feedback",
+           "mod_tremolo", "mod_vibrato", "car_freq_mul", "car_waveform",
+           "car_volume", "car_tremolo", "car_vibrato", "algorithm")
+
+
+class FMSynthInstrument:
+    """2-op FM with the reference example's full parameter surface.
+
+    Constructor args are the RAW integer parameter values (the same
+    encoding as the reference's Parameter list); mod_adr/car_adr pack
+    (attack, decay, sustain, release). algorithm 1 = phase modulation,
+    0 = additive (example_fmsynth.zig:295-311).
+
+    Live control: param_specs() exposes all 22 parameters. The 14
+    device-kind values reach render() as a per-block f32 vector (waveform/
+    algorithm selects are traced jnp.where chains, feedback flows into the
+    Pallas FM kernel as a runtime operand), so changes land on the next
+    block without re-jit. The 8 envelope values are plan-kind: the
+    incremental planners re-read self.mod/self.car when painting the open
+    segment, so they also land on the next block.
+    """
+
+    def __init__(self, mod_freq_mul=2, mod_waveform=0, mod_volume=12,
+                 mod_adr=(8, 8, 8, 8), mod_feedback=3, car_freq_mul=1,
+                 car_waveform=0, car_volume=0, car_adr=(8, 8, 8, 8),
+                 algorithm=1, mod_tremolo=0, mod_vibrato=0,
+                 car_tremolo=0, car_vibrato=0,
+                 tremolo_depth=1, vibrato_depth=1):
+        self.cfg = dict(
+            mod_freq_mul=mod_freq_mul, mod_waveform=mod_waveform,
+            mod_volume=mod_volume, mod_attack=mod_adr[0],
+            mod_decay=mod_adr[1], mod_sustain=mod_adr[2],
+            mod_release=mod_adr[3], mod_tremolo=mod_tremolo,
+            mod_vibrato=mod_vibrato, mod_feedback=mod_feedback,
+            car_freq_mul=car_freq_mul, car_waveform=car_waveform,
+            car_volume=car_volume, car_attack=car_adr[0],
+            car_decay=car_adr[1], car_sustain=car_adr[2],
+            car_release=car_adr[3], car_tremolo=car_tremolo,
+            car_vibrato=car_vibrato, tremolo_depth=tremolo_depth,
+            vibrato_depth=vibrato_depth, algorithm=algorithm,
+        )
+        self._apply_cfg()
+
+    def _apply_cfg(self):
+        c = self.cfg
+        self.mod = dict(
+            freq_mul=_FREQ_MUL[c["mod_freq_mul"]], waveform=c["mod_waveform"],
+            volume=_opl_volume(c["mod_volume"]),
+            attack=_opl_adr(c["mod_attack"]), decay=_opl_adr(c["mod_decay"]),
+            sustain=_opl_sustain(c["mod_sustain"]),
+            release=_opl_adr(c["mod_release"]),
+            feedback=_FEEDBACK[c["mod_feedback"]],
+            tremolo=_tremolo_amount(c["mod_tremolo"], c["tremolo_depth"]),
+            vibrato=_vibrato_amount(c["mod_vibrato"], c["vibrato_depth"]),
+        )
+        self.car = dict(
+            freq_mul=_FREQ_MUL[c["car_freq_mul"]], waveform=c["car_waveform"],
+            volume=_opl_volume(c["car_volume"]),
+            attack=_opl_adr(c["car_attack"]), decay=_opl_adr(c["car_decay"]),
+            sustain=_opl_sustain(c["car_sustain"]),
+            release=_opl_adr(c["car_release"]), feedback=0.0,
+            tremolo=_tremolo_amount(c["car_tremolo"], c["tremolo_depth"]),
+            vibrato=_vibrato_amount(c["car_vibrato"], c["vibrato_depth"]),
+        )
+        self.algorithm = c["algorithm"]
+
+    # -- live parameter protocol (host/params.py) ---------------------------
+
+    def param_specs(self) -> List[ParamSpec]:
+        """The reference's 22 parameters, in its panel order
+        (example_fmsynth.zig:375-398), defaults from this instance's
+        constructor values."""
+        c = self.cfg
+
+        def p(name, desc, n, fav=False, kind="device"):
+            return ParamSpec(name, n, c[name], desc, fav, kind)
+
+        return [
+            p("mod_freq_mul", "Modulator frequency multiplier:", 16, True),
+            p("mod_waveform", "Modulator waveform:", 4),
+            p("mod_volume", "Modulator volume:  ", 64, True),
+            p("mod_attack", "Modulator attack:  ", 16, kind="plan"),
+            p("mod_decay", "Modulator decay:   ", 16, kind="plan"),
+            p("mod_sustain", "Modulator sustain: ", 16, True, kind="plan"),
+            p("mod_release", "Modulator release: ", 16, kind="plan"),
+            p("mod_tremolo", "Modulator tremolo: ", 2),
+            p("mod_vibrato", "Modulator vibrato: ", 2),
+            p("mod_feedback", "Modulator feedback:", 8, True),
+            p("car_freq_mul", "Carrier frequency multiplier:", 16, True),
+            p("car_waveform", "Carrier waveform:", 4),
+            p("car_volume", "Carrier volume:  ", 64, True),
+            p("car_attack", "Carrier attack:  ", 16, kind="plan"),
+            p("car_decay", "Carrier decay:   ", 16, kind="plan"),
+            p("car_sustain", "Carrier sustain: ", 16, True, kind="plan"),
+            p("car_release", "Carrier release: ", 16, kind="plan"),
+            p("car_tremolo", "Carrier tremolo: ", 2),
+            p("car_vibrato", "Carrier vibrato: ", 2),
+            p("tremolo_depth", "Tremolo depth: ", 2),
+            p("vibrato_depth", "Vibrato depth: ", 2),
+            p("algorithm", "Algorithm: ", 2),
+        ]
+
+    def device_params(self, values: Dict[str, int]) -> np.ndarray:
+        """Integer values -> the f32 vector render() unpacks (_FM_DEV
+        layout). All index->value tables are applied here on host, so the
+        traced graph only sees final floats."""
+        td, vd = values["tremolo_depth"], values["vibrato_depth"]
+        out = {
+            "mod_freq_mul": _FREQ_MUL[values["mod_freq_mul"]],
+            "mod_waveform": float(values["mod_waveform"]),
+            "mod_volume": _opl_volume(values["mod_volume"]),
+            "mod_feedback": _FEEDBACK[values["mod_feedback"]],
+            "mod_tremolo": _tremolo_amount(values["mod_tremolo"], td),
+            "mod_vibrato": _vibrato_amount(values["mod_vibrato"], vd),
+            "car_freq_mul": _FREQ_MUL[values["car_freq_mul"]],
+            "car_waveform": float(values["car_waveform"]),
+            "car_volume": _opl_volume(values["car_volume"]),
+            "car_tremolo": _tremolo_amount(values["car_tremolo"], td),
+            "car_vibrato": _vibrato_amount(values["car_vibrato"], vd),
+            "algorithm": float(values["algorithm"]),
+        }
+        return np.asarray([out[k] for k in _FM_DEV], np.float32)
+
+    def apply_plan_params(self, values: Dict[str, int]) -> None:
+        """Adopt the plan-kind values (envelope ADSR) into the config the
+        planners read. Device-kind values are also mirrored so offline
+        plan()/render() of this instance match the live values."""
+        self.cfg.update({k: int(v) for k, v in values.items()
+                         if k in self.cfg})
+        self._apply_cfg()
+
+    # -- planning ------------------------------------------------------------
+
+    def _env(self, timelines, sample_rate, op):
+        segs = [control.compile_envelope(
+            tl, sample_rate,
+            lambda k, p: self._env_params(op, p))
+            for tl in timelines]
+        return control.painter_program(segs, timelines[0].total)
+
+    @staticmethod
+    def _env_params(op, p):
+        # reads `op` (self.mod / self.car) at call time: the incremental
+        # planners re-invoke this when painting the open segment, which is
+        # what makes plan-kind parameter changes land on the next block
+        return {"attack": PaintCurve.cubed(op["attack"]),
+                "decay": PaintCurve.cubed(op["decay"]),
+                "release": PaintCurve.cubed(op["release"]),
+                "sustain_volume": op["sustain"],
+                "note_on": bool(p["note_on"])}
+
+    def plan(self, timelines, sample_rate):
+        prog = {"active_from": active_from(timelines)}
+        prog["mod_env"] = self._env(timelines, sample_rate, self.mod)
+        prog["car_env"] = self._env(timelines, sample_rate, self.car)
+        freq = np.zeros(
+            (len(timelines), max(1, max(len(t.starts) for t in timelines))),
+            dtype=np.float32)
+        starts = np.full_like(freq, timelines[0].total, dtype=np.int64)
+        for v, tl in enumerate(timelines):
+            k = len(tl.starts)
+            if k:
+                freq[v, :k] = tl.param_f32(lambda p: F32(p["freq"]))
+                freq[v, k:] = freq[v, k - 1]
+                starts[v, :k] = tl.starts
+        prog["freqs"] = SegProgram(starts=starts.astype(np.int64),
+                                   values={"freq": freq})
+        return prog
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        from . import liveplan as lp
+
+        return lp.LivePlanKit({
+            "active_from": lp.IncActiveFrom(polyphony),
+            "mod_env": lp.IncEnvelope(
+                polyphony, sample_rate,
+                lambda k, p: self._env_params(self.mod, p)),
+            "car_env": lp.IncEnvelope(
+                polyphony, sample_rate,
+                lambda k, p: self._env_params(self.car, p)),
+            "freqs": lp.IncValues(
+                polyphony, {"freq": lambda p: F32(p["freq"])}),
+        })
+
+    def init_state(self, num_voices):
+        z = lambda: jnp.zeros((num_voices,), jnp.float32)
+        return {"mod_cnt": jnp.zeros((num_voices,), jnp.uint32),
+                "car_cnt": jnp.zeros((num_voices,), jnp.uint32),
+                "mod_fb1": z(), "mod_fb2": z()}
+
+    # -- rendering -----------------------------------------------------------
+
+    @staticmethod
+    def _lfo(hz, ctx):
+        """MainModule-level LFO, phase-continuous from session start
+        (example_fmsynth.zig:437-451): closed-form u32 phase from the
+        absolute frame index, the engine's standard oscillator convention."""
+        from ..ops.scan import freq_to_ifreq
+
+        ifreq = freq_to_ifreq(jnp.float32(hz), ctx.sample_rate)
+        cnt = jnp.uint32(ifreq) * ctx.t_idx.astype(jnp.uint32)
+        return oscillators.sine_wave(cnt, 0.0)  # [n]
+
+    def render(self, state, prog, ctx):
+        act = ctx.t_idx[None, :] >= jnp.asarray(prog["active_from"])[:, None]
+        freq = eval_chunk(prog["freqs"], ctx.t_idx)["freq"]
+        live = "__params__" in prog
+        if live:
+            pv = prog["__params__"]  # f32 [12], _FM_DEV layout
+            P = {name: pv[i] for i, name in enumerate(_FM_DEV)}
+        else:
+            P = None
+
+        need_lfo = live or any(
+            op["tremolo"] != 0.0 or op["vibrato"] != 0.0
+            for op in (self.mod, self.car))
+        if need_lfo:
+            trem_lfo = self._lfo(_TREMOLO_HZ, ctx)[None, :]
+            vib_lfo = self._lfo(_VIBRATO_HZ, ctx)[None, :]
+
+        def op_freq(base, freq_mul, vibrato):
+            f = base * freq_mul
+            if live:
+                return f * (vib_lfo * vibrato + jnp.float32(1.0))
+            if float(vibrato) != 0.0:
+                f = f * (vib_lfo * jnp.float32(vibrato) + jnp.float32(1.0))
+            return f
+
+        def op_gain(sig, volume, tremolo):
+            sig = sig * volume
+            if live:
+                return sig * (trem_lfo * tremolo + jnp.float32(1.0))
+            if float(tremolo) != 0.0:
+                sig = sig * (trem_lfo * jnp.float32(tremolo) + jnp.float32(1.0))
+            return sig
+
+        # modulator
+        if live:
+            m_fm, m_wave, m_vol = P["mod_freq_mul"], P["mod_waveform"], P["mod_volume"]
+            m_fb, m_trem, m_vib = P["mod_feedback"], P["mod_tremolo"], P["mod_vibrato"]
+        else:
+            m_fm = jnp.float32(self.mod["freq_mul"])
+            m_wave, m_vol = self.mod["waveform"], jnp.float32(self.mod["volume"])
+            m_fb, m_trem, m_vib = self.mod["feedback"], self.mod["tremolo"], self.mod["vibrato"]
+        mod_cnt, (fb1, fb2), mod_out = fm.fm_osc(
+            state["mod_cnt"], op_freq(freq, m_fm, m_vib), 0.0,
+            m_wave, m_fb,
+            (state["mod_fb1"], state["mod_fb2"]), ctx.sample_rate, act)
+        mod_env = control.eval_painter(
+            eval_chunk(prog["mod_env"], ctx.t_idx), ctx.t_idx)
+        mod_sig = op_gain(mod_out, m_vol, m_trem) * mod_env
+
+        # carrier (feedback is always 0 in the reference,
+        # example_fmsynth.zig:345)
+        if live:
+            c_fm, c_wave, c_vol = P["car_freq_mul"], P["car_waveform"], P["car_volume"]
+            c_trem, c_vib, algo = P["car_tremolo"], P["car_vibrato"], P["algorithm"]
+            car_phase = mod_sig * algo  # algorithm 1 = phase modulation
+        else:
+            c_fm = jnp.float32(self.car["freq_mul"])
+            c_wave, c_vol = self.car["waveform"], jnp.float32(self.car["volume"])
+            c_trem, c_vib = self.car["tremolo"], self.car["vibrato"]
+            car_phase = mod_sig if self.algorithm == 1 else 0.0
+        car_cnt, _, car_out = fm.fm_osc(
+            state["car_cnt"], op_freq(freq, c_fm, c_vib), car_phase,
+            c_wave, 0.0,
+            (jnp.zeros_like(fb1), jnp.zeros_like(fb2)), ctx.sample_rate, act)
+        car_env = control.eval_painter(
+            eval_chunk(prog["car_env"], ctx.t_idx), ctx.t_idx)
+        out = op_gain(car_out, c_vol, c_trem) * car_env
+        if live:
+            # algorithm 0 = additive: the (already enveloped) modulator
+            # signal adds into the output (example_fmsynth.zig:299-303)
+            out = out + mod_sig * (jnp.float32(1.0) - algo)
+        elif self.algorithm == 0:
+            out = out + mod_sig
+        return {"mod_cnt": mod_cnt, "car_cnt": car_cnt,
+                "mod_fb1": fb1, "mod_fb2": fb2}, out

@@ -61,6 +61,9 @@ class _PartState:
     dev_state: object
     plan_cache: Optional[tuple] = None  # (key, plan)
     planner: Optional[object] = None  # incremental live planner (liveplan.py)
+    params: Optional[object] = None  # ParamStore (host/params.py)
+    param_vec: Optional[np.ndarray] = None  # f32 [P] device-kind values
+    plan_nonce: int = 0  # bumped on plan-kind changes (re-plan cache key)
 
 
 class LiveSession:
@@ -118,8 +121,28 @@ class LiveSession:
             )
             for inst, poly in parts
         ]
+        for part in self.parts:
+            self._init_params(part)
         self._horizon = 1 << 20  # plan horizon (frames); grows by doubling
         self._held_keys = {}  # part -> {key: note_id} (default key pairing)
+
+    @staticmethod
+    def _init_params(part: _PartState) -> None:
+        """Build the part's live-parameter store (host/params.py) when its
+        instrument declares ParamSpecs (the reference host's Parameter
+        panel, example.zig:324-392)."""
+        from .params import ParamStore
+
+        inst = part.instrument
+        if not hasattr(inst, "param_specs"):
+            return
+        specs = inst.param_specs()
+        if not specs:
+            return
+        part.params = ParamStore(specs)
+        if any(s.kind == "device" for s in specs):
+            part.param_vec = np.asarray(
+                inst.device_params(part.params.values), np.float32)
 
     # -- event input ------------------------------------------------------
 
@@ -172,6 +195,68 @@ class LiveSession:
         if note_ids is not None and down:
             note_ids[key] = nid
         return nid
+
+    # -- live parameters (reference Parameter panel, example.zig:324-392) ---
+
+    def param_specs(self, part: int) -> list:
+        """The part's ParamSpecs ([] when the instrument exposes none)."""
+        store = self.parts[part].params
+        return [] if store is None else list(store.specs)
+
+    def get_params(self, part: int) -> dict:
+        store = self.parts[part].params
+        return {} if store is None else dict(store.values)
+
+    def _param_store(self, part: int):
+        store = self.parts[part].params
+        if store is None:
+            raise ValueError(
+                f"part {part}'s instrument exposes no live parameters")
+        return store
+
+    def _apply_params(self, part: _PartState, names) -> None:
+        """Propagate changed values: device-kind rebuilds the per-block f32
+        vector (swapped atomically — the next block uploads it); plan-kind
+        updates the instrument config the planners re-read (next block's
+        open-segment paint / next plan)."""
+        kinds = {part.params.by_name[n].kind for n in names}
+        if "device" in kinds:
+            part.param_vec = np.asarray(
+                part.instrument.device_params(part.params.values),
+                np.float32)
+        if "plan" in kinds:
+            part.instrument.apply_plan_params(part.params.values)
+            part.plan_nonce += 1  # invalidates the full re-plan cache
+
+    def set_param(self, part: int, name: str, value: int) -> int:
+        """Set one parameter (clamped to its range); the change is audible
+        on the next rendered block. Returns the stored value."""
+        p = self.parts[part]
+        store = self._param_store(part)
+        with self._lock:
+            v = store.set(name, value)
+            self._apply_params(p, (name,))
+        return v
+
+    def step_param(self, part: int, name: str, delta: int) -> int:
+        """Arrow-key stepping (example.zig:324-372)."""
+        p = self.parts[part]
+        store = self._param_store(part)
+        with self._lock:
+            v = store.step(name, delta)
+            self._apply_params(p, (name,))
+        return v
+
+    def randomize_params(self, part: int, rng=None) -> dict:
+        """Backspace-randomize every parameter (example.zig:373-391)."""
+        import random
+
+        p = self.parts[part]
+        store = self._param_store(part)
+        with self._lock:
+            vals = store.randomize(rng or random.Random())
+            self._apply_params(p, set(vals))
+        return vals
 
     # -- block rendering ---------------------------------------------------
 
@@ -258,7 +343,8 @@ class LiveSession:
         # plans are deterministic in (segments, horizon), so blocks with
         # no new events reuse the cached plan — steady-state host cost is
         # just the window slice, not O(session length) re-planning
-        key = (tuple(len(sv) for sv in part.segs), self._horizon)
+        key = (tuple(len(sv) for sv in part.segs), self._horizon,
+               part.plan_nonce)
         if part.plan_cache is not None and part.plan_cache[0] == key:
             plan = part.plan_cache[1]
         else:
@@ -331,8 +417,18 @@ class LiveSession:
     def _window_progs(self, f0: int, f1: int):
         """Host half 2: per-part program windows at the current
         slot_capacity. Raises RuntimeError('...slot_capacity...') on
-        overflow — callers own the grow/degrade policy."""
-        return [self._part_progs(part, f0, f1) for part in self.parts]
+        overflow — callers own the grow/degrade policy. Parts with live
+        device parameters get their current f32 vector attached — it rides
+        the same per-block upload as the program window (and LiveFleet's
+        single packed transfer), so a set_param needs no re-jit."""
+        out = []
+        for part in self.parts:
+            prog = self._part_progs(part, f0, f1)
+            if part.param_vec is not None:
+                prog = dict(prog)
+                prog["__params__"] = part.param_vec
+            out.append(prog)
+        return out
 
     def _degraded_window_progs(self, f0: int, f1: int):
         """Windows with the oldest overflow segments dropped (the
@@ -445,6 +541,8 @@ class LiveSession:
                     "planner": (None if p.planner is None
                                 else snap.extract_state(p.planner)),
                     "dev_state": dev,
+                    "params": (None if p.params is None
+                               else dict(p.params.values)),
                 }
                 for p, dev in zip(self.parts, dev_states)
             ]
@@ -470,6 +568,24 @@ class LiveSession:
         state = snap.loads(blob)
         if state.get("version") != 1:
             raise ValueError(f"unknown snapshot version {state.get('version')}")
+        # live parameter values apply BEFORE the spec check: plan-kind
+        # params mutate the instrument config the fingerprint hashes, so a
+        # snapshot taken after param changes only matches once the fresh
+        # session's instruments carry the same values
+        for p, ps in zip(self.parts, state["parts"]):
+            vals = ps.get("params")
+            if vals is not None:
+                if p.params is None:
+                    raise ValueError(
+                        "snapshot spec mismatch: saved session had live "
+                        "parameters, this instrument exposes none")
+                try:
+                    for k, v in vals.items():
+                        p.params.set(k, v)
+                except KeyError as e:
+                    raise ValueError(
+                        f"snapshot spec mismatch: {e}") from None
+                self._apply_params(p, set(vals))
         if state["spec"] != self._spec_fingerprint():
             raise ValueError(
                 f"snapshot spec mismatch: saved {state['spec']} vs this "

@@ -264,6 +264,33 @@ class IncPhase:
                               f0, f1, KP)
 
 
+class IncValues:
+    """Incremental per-voice value columns: one segment per event carrying
+    {name: fn(params)} values with repeat-last window fill — the planner
+    twin of a plan() that lays raw per-note values (e.g. FMSynthInstrument's
+    freqs program) into a SegProgram."""
+
+    def __init__(self, V: int, fns: Dict[str, Callable],
+                 dtypes: Optional[Dict[str, object]] = None) -> None:
+        self.V = V
+        self.fns = dict(fns)
+        self.dtypes = dict(dtypes or {})
+        self.starts: List[List[int]] = [[] for _ in range(V)]
+        self.vals: Dict[str, List[List]] = {
+            name: [[] for _ in range(V)] for name in self.fns
+        }
+        self._cursor = [0] * V
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        self.starts[v].append(int(start))
+        for name, fn in self.fns.items():
+            self.vals[name][v].append(fn(params))
+
+    def window(self, f0: int, f1: int, KP: int) -> Dict[str, np.ndarray]:
+        return columns_window(self.starts, self.vals, self.dtypes,
+                              self._cursor, f0, f1, KP)
+
+
 class IncActiveFrom:
     """Incremental twin of core.timeline.active_from: first event frame per
     voice (never-active voices stay at i32 max, masking everything)."""

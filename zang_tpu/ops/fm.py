@@ -87,12 +87,13 @@ def fm_osc(
     # comparable at runtime), lax.scan elsewhere.
     from . import pallas_mode
 
-    if pallas_mode.enabled() and base.ndim == 2 and isinstance(
-        waveform, (int, float)
-    ):
+    if pallas_mode.enabled() and base.ndim == 2:
         from .pallas_fm import fm_feedback_pallas
 
-        out, f1, f2 = fm_feedback_pallas(base, fb, int(waveform), fb1, fb2,
+        # waveform may be a static int OR a traced scalar (live parameter
+        # control feeds it from the per-block param vector) — the kernel
+        # takes it as a per-lane runtime operand either way
+        out, f1, f2 = fm_feedback_pallas(base, fb, waveform, fb1, fb2,
                                          interpret=pallas_mode.force_interpret())
     else:
         def step(carry, b):

@@ -295,6 +295,31 @@ class LiveFleet:
         self._check_attached(lane)
         return self.lanes[lane].key_event(part, key, down, **kw)
 
+    # -- live parameters (delegates; host/params.py) -------------------------
+    # The per-lane f32 device vector is a leaf of the lane's program window,
+    # so it rides the fleet's single packed per-block upload — a param
+    # change on one lane re-jits nothing and costs the other lanes nothing.
+
+    def param_specs(self, lane: int, part: int = 0) -> list:
+        self._check_attached(lane)
+        return self.lanes[lane].param_specs(part)
+
+    def get_params(self, lane: int, part: int = 0) -> dict:
+        self._check_attached(lane)
+        return self.lanes[lane].get_params(part)
+
+    def set_param(self, lane: int, part: int, name: str, value: int) -> int:
+        self._check_attached(lane)
+        return self.lanes[lane].set_param(part, name, value)
+
+    def step_param(self, lane: int, part: int, name: str, delta: int) -> int:
+        self._check_attached(lane)
+        return self.lanes[lane].step_param(part, name, delta)
+
+    def randomize_params(self, lane: int, part: int = 0, rng=None) -> dict:
+        self._check_attached(lane)
+        return self.lanes[lane].randomize_params(part, rng=rng)
+
     # -- block rendering ---------------------------------------------------
 
     def _sync_capacity(self) -> int:

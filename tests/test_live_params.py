@@ -206,6 +206,114 @@ class TestLiveSessionParams:
             live.set_param(0, "anything", 1)
 
 
+class TestServerParams:
+    """Wire ops: client -> server -> fleet lane (serve/server.py)."""
+
+    def _server(self):
+        from zang_tpu.serve.server import LiveServer
+
+        return LiveServer(lambda: [(FMSynthInstrument(), 2)], SR,
+                          port=0, initial_lanes=2, realtime=False,
+                          block_size=BLOCK)
+
+    def test_param_ops_over_the_wire(self):
+        from zang_tpu.serve.server import LiveClient
+
+        with self._server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                info = c.params(0)
+                assert len(info["specs"]) == 22
+                assert info["values"]["mod_feedback"] == 3
+                assert c.set_param(0, "car_volume", 63) == 63
+                assert c.step_param(0, "mod_feedback", 2) == 5
+                assert c.step_param(0, "mod_feedback", 99) == 7  # clamp
+                vals = c.randomize_params(0, seed=5)
+                assert set(vals) == {s["name"] for s in info["specs"]}
+                # and the lane actually carries them
+                assert srv.fleet.get_params(0, 0) == vals
+            finally:
+                c.close()
+
+    def test_param_change_audible_over_stream(self):
+        from zang_tpu.serve.server import LiveClient
+
+        with self._server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                read_until_audible(c)
+                # ride out the OPL attack (~0.41 s = 19 blocks), track peak
+                loud = max(float(np.abs(c.read_block()).max())
+                           for _ in range(25))
+                c.set_param(0, "car_volume", 63)  # ~-48 dB
+                # blocks rendered before the change may still be buffered
+                quiet = read_until_quiet(c, loud * 0.05)
+                assert quiet < loud * 0.05
+            finally:
+                c.close()
+
+    def test_terminal_player_panel(self):
+        """zang-play's panel keys: select/step/randomize drive the wire ops
+        and the acks (on the reader thread) keep the local mirror current."""
+        import time
+
+        from zang_tpu.serve.client import TerminalPlayer
+        from zang_tpu.serve.server import LiveClient
+
+        def wait(pred, seconds=30):
+            deadline = time.monotonic() + seconds
+            while not pred():
+                assert time.monotonic() < deadline, "timed out"
+                time.sleep(0.01)
+
+        with self._server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, quiet=True) as player:
+                player.param_select(1)  # fetches specs, selects #2
+                assert player.param_specs is not None
+                assert len(player.param_specs) == 22
+                assert player.param_sel == 1
+                name = player.param_specs[1]["name"]  # mod_waveform
+                player.param_step(1)
+                wait(lambda: player.param_values.get(name) == 1)
+                assert srv.fleet.get_params(0, 0)[name] == 1
+                before = dict(player.param_values)
+                player.param_randomize()
+                wait(lambda: player.param_values != before)
+                assert srv.fleet.get_params(0, 0) == player.param_values
+
+    def test_unknown_param_is_client_error(self):
+        from zang_tpu.serve.server import LiveClient
+
+        with self._server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                with pytest.raises(RuntimeError, match="unknown parameter"):
+                    c.set_param(0, "nope", 1)
+            finally:
+                c.close()
+
+
+def read_until_audible(c, max_blocks=200):
+    """Scan forward for the first audible block (the free-running server
+    renders silent blocks before a just-sent event lands)."""
+    for _ in range(max_blocks):
+        p = float(np.abs(c.read_block()).max())
+        if p > 100:
+            return p
+    raise AssertionError(f"no audible block within {max_blocks}")
+
+
+def read_until_quiet(c, threshold, max_blocks=400):
+    last = None
+    for _ in range(max_blocks):
+        last = float(np.abs(c.read_block()).max())
+        if last < threshold:
+            return last
+    raise AssertionError(f"never decayed below {threshold}: last {last}")
+
+
 class TestParamSnapshot:
     def test_snapshot_carries_params(self):
         """Migrating a session after param edits: the fresh host continues

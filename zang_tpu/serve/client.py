@@ -17,8 +17,10 @@ Keys: two-row musical layout plays notes; "`" toggles server-side
 recording (the reference recorder's key); "1" prints serving stats;
 "2" cycles the live visual (VU bar -> waveform -> spectrum ->
 oscilloscope sparklines — the reference's F1-F6 visualizer modes,
-examples/visual.zig:943-1231, on one terminal line); Esc / Ctrl-C /
-Ctrl-D quit.
+examples/visual.zig:943-1231, on one terminal line); Up/Down select a
+live parameter, Left/Right step it, Backspace randomizes them all (the
+reference's Parameter panel, examples/example.zig:324-392); Esc /
+Ctrl-C / Ctrl-D quit. Pipe mode accepts UP/DOWN/LEFT/RIGHT/BS tokens.
 
 Run a server first (python -m zang_tpu.serve.server), then:
     python -m zang_tpu.serve.client --port 9800 --wav take.wav
@@ -69,6 +71,10 @@ class TerminalPlayer:
         # examples/visual.zig:943-1231, on one terminal line): None = VU
         # bar, else "wave" | "spec" | "scope" sparklines of each block
         self.visual_mode: Optional[str] = None
+        # live parameter panel state (filled by the "params" ack)
+        self.param_specs: Optional[list] = None
+        self.param_values: Optional[dict] = None
+        self.param_sel = 0
         self._timers = {}  # key -> threading.Timer
         self._rec_pending = False  # record toggle awaiting its ack
         self._lock = threading.Lock()  # timers + wav writer
@@ -145,6 +151,71 @@ class TerminalPlayer:
             except OSError:
                 pass
 
+    # -- live parameters (reference panel, examples/example.zig:324-392:
+    # Up/Down select, Left/Right step, Backspace randomizes) ----------------
+
+    def _ensure_params(self) -> bool:
+        """Fetch the part's specs once; False if the instrument has none.
+        The ack lands on the reader thread; wait briefly for it."""
+        if self.param_specs is not None:
+            return len(self.param_specs) > 0
+        with self._lock:
+            try:
+                _send_json(self.client.sock,
+                           {"op": "params", "part": self.part})
+            except OSError:
+                return False
+        deadline = time.monotonic() + 5.0
+        while self.param_specs is None and time.monotonic() < deadline:
+            time.sleep(0.02)
+        if self.param_specs is None:
+            return False
+        if not self.param_specs:
+            self._note("instrument has no live parameters")
+            return False
+        return True
+
+    def param_select(self, delta: int) -> None:
+        """Up/Down: move the selection through the panel."""
+        if not self._ensure_params():
+            return
+        self.param_sel = (self.param_sel + delta) % len(self.param_specs)
+        self._print_param()
+
+    def param_step(self, delta: int) -> None:
+        """Left/Right: step the selected parameter (server clamps)."""
+        if not self._ensure_params():
+            return
+        name = self.param_specs[self.param_sel]["name"]
+        with self._lock:
+            try:
+                _send_json(self.client.sock,
+                           {"op": "step_param", "part": self.part,
+                            "name": name, "delta": int(delta)})
+            except OSError:
+                pass
+        # the ack updates param_values and reprints on the reader thread
+
+    def param_randomize(self) -> None:
+        """Backspace: randomize every parameter (example.zig:373-391)."""
+        if not self._ensure_params():
+            return
+        with self._lock:
+            try:
+                _send_json(self.client.sock,
+                           {"op": "randomize_params", "part": self.part})
+            except OSError:
+                pass
+
+    def _print_param(self) -> None:
+        if not self.param_specs or self.param_values is None:
+            return
+        s = self.param_specs[self.param_sel]
+        val = self.param_values.get(s["name"], 0)
+        desc = (s.get("desc") or s["name"]).strip()
+        self._note(f"[{self.param_sel + 1}/{len(self.param_specs)}] "
+                   f"{desc} {val} (0..{s['num_values'] - 1})")
+
     # -- output -------------------------------------------------------------
 
     def _read_loop(self) -> None:
@@ -201,6 +272,18 @@ class TerminalPlayer:
                     self._rec_pending = False
                 self._note(
                     f"take saved: {v['file']} ({v['seconds']:.2f}s)")
+            elif kind == "params":
+                if v.get("specs") is not None:
+                    self.param_specs = v["specs"]
+                if self.param_values is None:
+                    self.param_values = dict(v.get("values") or {})
+                else:  # randomize ack: every value changed
+                    self.param_values.update(v.get("values") or {})
+                    self._print_param()
+            elif kind == "param":
+                if self.param_values is not None:
+                    self.param_values[v["name"]] = v["value"]
+                self._print_param()
             elif kind == "stats":
                 self.last_stats = v
                 self._note(
@@ -350,19 +433,36 @@ class TerminalPlayer:
 
 
 def _stdin_keys():
-    """Yield single characters from a raw-mode terminal (cbreak: no echo,
-    no line buffering — the SDL keydown analog)."""
+    """Yield key tokens from a raw-mode terminal (cbreak: no echo, no line
+    buffering — the SDL keydown analog). Arrow keys arrive as CSI escape
+    sequences and are decoded to "UP"/"DOWN"/"LEFT"/"RIGHT"; a bare Esc
+    (no bytes follow within 50 ms) is yielded as "\\x1b" itself."""
+    import select
     import termios
     import tty
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
+    arrows = {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}
     try:
         tty.setcbreak(fd)
         while True:
             ch = sys.stdin.read(1)
             if not ch:
                 return
+            if ch == "\x1b":
+                r, _, _ = select.select([fd], [], [], 0.05)
+                if not r:
+                    yield ch  # bare Esc
+                    continue
+                seq = sys.stdin.read(1)
+                if seq == "[":
+                    fin = sys.stdin.read(1)
+                    tok = arrows.get(fin)
+                    if tok:
+                        yield tok
+                    continue  # other CSI: swallow
+                continue  # Alt-<key>: swallow
             yield ch
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
@@ -439,6 +539,17 @@ def main(argv=None) -> int:
                         player.request_stats()
                     elif ch == "2":
                         player.cycle_visual()
+                    # live parameter panel (example.zig:324-392)
+                    elif ch == "UP":
+                        player.param_select(-1)
+                    elif ch == "DOWN":
+                        player.param_select(1)
+                    elif ch == "LEFT":
+                        player.param_step(-1)
+                    elif ch == "RIGHT":
+                        player.param_step(1)
+                    elif ch in ("\x7f", "\x08"):  # Backspace
+                        player.param_randomize()
                     elif ch.strip():
                         player.press(ch)
             else:  # scripted/pipe mode, for tests and automation
@@ -454,7 +565,14 @@ def main(argv=None) -> int:
                     key = line.strip()
                     if not key:
                         break
-                    player.press(key)
+                    if key in ("UP", "DOWN"):
+                        player.param_select(-1 if key == "UP" else 1)
+                    elif key in ("LEFT", "RIGHT"):
+                        player.param_step(-1 if key == "LEFT" else 1)
+                    elif key == "BS":
+                        player.param_randomize()
+                    else:
+                        player.press(key)
                     time.sleep(args.gate)
                 time.sleep(args.gate + 0.1)  # let the last release land
         except KeyboardInterrupt:

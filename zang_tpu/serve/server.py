@@ -21,6 +21,17 @@ frames; binary audio payloads):
                                         unmapped keys are silently ignored)
     {"op": "stats"}                     serving stats (block cadence vs
                                         realtime budget, lanes, clients)
+    {"op": "params", "part": P}         this part's live-parameter specs +
+                                        current values (reference Parameter
+                                        panel, examples/common.zig:9-14)
+    {"op": "set_param", "part": P, "name": N, "value": V}
+    {"op": "step_param", "part": P, "name": N, "delta": D}
+                                        change one live parameter; lands on
+                                        the next block, no re-jit
+                                        (example.zig:324-372 arrow keys)
+    {"op": "randomize_params", "part": P, "seed": S?}
+                                        Backspace-randomize every parameter
+                                        (example.zig:373-391)
     {"op": "record_start"} / {"op": "record_stop"}
                                         server-side per-lane WAV capture
                                         (recorder.zig's feature at the
@@ -530,6 +541,42 @@ class LiveServer:
             self.fleet.key_event(
                 lane, int(msg.get("part", 0)), msg["key"],
                 bool(msg["down"]), **kw)
+        elif op == "params":
+            part = int(msg.get("part", 0))
+            specs = self.fleet.param_specs(lane, part)
+            self._reply(lane, {
+                "op": "params", "part": part,
+                "specs": [{"name": s.name, "desc": s.desc,
+                           "num_values": s.num_values,
+                           "favor_low_values": s.favor_low_values,
+                           "kind": s.kind} for s in specs],
+                "values": self.fleet.get_params(lane, part)})
+        elif op in ("set_param", "step_param"):
+            part = int(msg.get("part", 0))
+            name = str(msg.get("name", ""))
+            try:
+                if op == "set_param":
+                    v = self.fleet.set_param(lane, part, name,
+                                             int(msg["value"]))
+                else:
+                    v = self.fleet.step_param(lane, part, name,
+                                              int(msg["delta"]))
+            except (KeyError, ValueError) as e:
+                raise _ClientError(str(e).strip("'\""))
+            self._reply(lane, {"op": "param", "part": part,
+                               "name": name, "value": v})
+        elif op == "randomize_params":
+            part = int(msg.get("part", 0))
+            seed = msg.get("seed")
+            import random as _random
+
+            rng = _random.Random(seed) if seed is not None else None
+            try:
+                vals = self.fleet.randomize_params(lane, part, rng=rng)
+            except ValueError as e:
+                raise _ClientError(str(e))
+            self._reply(lane, {"op": "params", "part": part,
+                               "values": vals})
         elif op == "stats":
             self._reply(lane, {"op": "stats", **self.stats()})
         elif op == "snapshot":
@@ -1074,6 +1121,36 @@ class LiveClient:
         ack = self.read_control()
         assert ack["op"] == "stats", ack
         return ack
+
+    def params(self, part: int = 0) -> dict:
+        """Live-parameter specs + current values for one part."""
+        _send_json(self.sock, {"op": "params", "part": part})
+        ack = self.read_control()
+        assert ack["op"] == "params", ack
+        return ack
+
+    def set_param(self, part: int, name: str, value: int) -> int:
+        _send_json(self.sock, {"op": "set_param", "part": part,
+                               "name": name, "value": value})
+        ack = self.read_control()
+        assert ack["op"] == "param", ack
+        return ack["value"]
+
+    def step_param(self, part: int, name: str, delta: int) -> int:
+        _send_json(self.sock, {"op": "step_param", "part": part,
+                               "name": name, "delta": delta})
+        ack = self.read_control()
+        assert ack["op"] == "param", ack
+        return ack["value"]
+
+    def randomize_params(self, part: int = 0, seed=None) -> dict:
+        msg = {"op": "randomize_params", "part": part}
+        if seed is not None:
+            msg["seed"] = seed
+        _send_json(self.sock, msg)
+        ack = self.read_control()
+        assert ack["op"] == "params", ack
+        return ack["values"]
 
     def resume(self, token: str) -> int:
         """Continue a session dropped by a network blip: the server

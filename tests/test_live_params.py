@@ -206,6 +206,142 @@ class TestLiveSessionParams:
             live.set_param(0, "anything", 1)
 
 
+class TestControllers:
+    """Continuous-controller streams (the reference mouseEvent path,
+    examples/example_mouse.zig): LiveSession.push_controller re-targets
+    Portamento plan channels on the next block."""
+
+    def _session(self, **env):
+        import os
+
+        from zang_tpu.host.instruments import MousePMInstrument
+
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            live = LiveSession([(MousePMInstrument(), 1)], SR, BLOCK)
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+        live.push_event(0, {"freq": 440.0, "note_on": True},
+                        note_id=1, impulse_frame=0)
+        return live
+
+    def test_controller_lands_next_block(self):
+        a, b = self._session(), self._session()
+        pre_a = a.render_blocks(2)
+        pre_b = b.render_blocks(2)
+        assert np.array_equal(pre_a, pre_b)
+        a.push_controller(0, "x", 0.95)
+        assert not np.array_equal(a.render_blocks(3), b.render_blocks(3))
+
+    def test_incremental_matches_replan(self):
+        """The IncPortamento walk must be bit-identical to the full
+        re-plan path (ZANG_LIVE_INC=0) across controller moves."""
+        a = self._session()
+        b = self._session(ZANG_LIVE_INC="0")
+        assert a.parts[0].planner is not None
+        assert b.parts[0].planner is None
+        out_a = [a.render_blocks(2)]
+        out_b = [b.render_blocks(2)]
+        for x, y in ((0.9, 0.1), (0.2, 0.8), (0.5, 0.5)):
+            for s in (a, b):
+                s.push_controller(0, "x", x)
+                s.push_controller(0, "y", y)
+            out_a.append(a.render_blocks(2))
+            out_b.append(b.render_blocks(2))
+        assert np.array_equal(np.concatenate(out_a, axis=1),
+                              np.concatenate(out_b, axis=1))
+
+    def test_live_matches_offline(self):
+        """Same controller frames + note events -> live blocks equal the
+        offline render (the offline config path bakes the trajectory in
+        as the instrument's default controller stream)."""
+        from zang_tpu.host.instruments import MousePMInstrument
+
+        blocks = 6
+        total = blocks * BLOCK
+        moves = [(0, 0.5, 0.5), (2 * BLOCK, 0.9, 0.2), (4 * BLOCK, 0.1, 0.7)]
+        ctl = {"x": [(f, x) for f, x, _ in moves],
+               "y": [(f, y) for f, _, y in moves]}
+        song = [SongEvent({"freq": 440.0, "note_on": True}, t=0.0,
+                          note_id=1)]
+        tls = compile_timelines(song, 1, SR, total)
+        offline = render_performance(
+            Performance([(MousePMInstrument(controllers=ctl), tls)], SR),
+            total, chunk_size=2048)
+
+        live = self._session()  # pushes the note at frame 0 itself
+        out = []
+        for b in range(blocks):
+            for f, x, y in moves:
+                if f == b * BLOCK and f > 0:
+                    live.push_controller(0, "x", x)
+                    live.push_controller(0, "y", y)
+            out.append(live.render_block())
+        # moves at frame 0 are the instrument defaults (0.5, 0.5) already
+        assert rms_db(np.concatenate(out, axis=1), offline) < -110.0
+
+    def test_unknown_controller_raises(self):
+        live = self._session()
+        with pytest.raises(ValueError, match="no controller"):
+            live.push_controller(0, "z", 0.5)
+        nice = LiveSession([(ti.NiceInstrument(0.3), 1)], SR, BLOCK)
+        with pytest.raises(ValueError, match="no controller"):
+            nice.push_controller(0, "x", 0.5)
+
+    def test_snapshot_carries_controllers(self):
+        a = self._session()
+        a.render_block()
+        a.push_controller(0, "x", 0.9)
+        a.render_block()  # mid-glide
+        blob = a.snapshot()
+        ref = a.render_blocks(3)
+
+        from zang_tpu.host.instruments import MousePMInstrument
+
+        b = LiveSession([(MousePMInstrument(), 1)], SR, BLOCK)
+        b.restore(blob)
+        got = b.render_blocks(3)
+        assert np.abs(ref).max() > 1e-4
+        assert np.array_equal(ref, got)
+
+    def test_mode_param_both_kinds(self):
+        """mode is kind='both': flips the traced relative/absolute select
+        on the next block AND the goal mapping of later moves."""
+        live = self._session()
+        live.render_block()
+        rel = live.render_block()
+        live.set_param(0, "mode", 1)
+        absm = live.render_block()
+        assert not np.array_equal(rel, absm)
+        assert np.isfinite(absm).all()
+
+    def test_server_controller_op(self):
+        from zang_tpu.host.instruments import MousePMInstrument
+        from zang_tpu.serve.server import LiveClient, LiveServer
+
+        with LiveServer(lambda: [(MousePMInstrument(), 1)], SR, port=0,
+                        initial_lanes=1, realtime=False,
+                        block_size=BLOCK) as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.send_controller(0, "x", 0.9)
+                import time
+
+                deadline = time.monotonic() + 10
+                lane = srv.fleet.lanes[0]
+                while len(lane.parts[0].controllers["x"]) < 2:
+                    assert time.monotonic() < deadline
+                    time.sleep(0.01)
+                assert lane.parts[0].controllers["x"][-1][1] == 0.9
+                with pytest.raises(RuntimeError, match="no controller"):
+                    c.send_controller(0, "nope", 0.1)
+                    c.stats()  # controller is fire-and-forget; force an ack
+            finally:
+                c.close()
+
+
 class TestServerParams:
     """Wire ops: client -> server -> fleet lane (serve/server.py)."""
 

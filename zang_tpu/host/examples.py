@@ -550,73 +550,27 @@ def ex_portamento(seconds=4.0):
 def ex_mouse(seconds=4.0):
     sr = 48000.0
     total = int(seconds * sr)
-    # scripted pointer path: (t, x, y) in [0,1]^2, sampled as events
+    # scripted pointer path: (t, x, y) in [0,1]^2, sampled as events with
+    # the same f32 frame quantization the live mouseEvent path would get
     path = [(0.0, 0.3, 0.5), (0.5, 0.5, 0.6), (1.0, 0.8, 0.3),
             (1.5, 0.4, 0.8), (2.0, 0.6, 0.2), (2.5, 0.9, 0.9),
             (3.0, 0.2, 0.4)]
-    ratio_song = [
-        _note({"goal": x * 4.0, "note_on": True}, t, i + 1)
-        for i, (t, x, y) in enumerate(path)
-    ]
-    mult_song = [
-        _note({"goal": y * 2.0, "note_on": True}, t, i + 1)
-        for i, (t, x, y) in enumerate(path)
-    ]
+    ctl_song = [_note({"v": i, "note_on": True}, t, i + 1)
+                for i, (t, x, y) in enumerate(path)]
+    ctl_tl = compile_timelines(ctl_song, 1, sr, total)[0]
+    controllers = {
+        "x": [(int(f), path[k][1]) for k, f in enumerate(ctl_tl.starts)],
+        "y": [(int(f), path[k][2]) for k, f in enumerate(ctl_tl.starts)],
+    }
     key_song = _simple_song([(0.1, seconds - 0.8, A4 * tt.a3)])
-    ratio_tl = compile_timelines(ratio_song, 1, sr, total)[0]
-    mult_tl = compile_timelines(mult_song, 1, sr, total)[0]
     tls = compile_timelines(key_song, 1, sr, total)
+    # the instrument (with live controller + mode-parameter support) lives
+    # in host/instruments.py; the offline config bakes the scripted
+    # trajectory in as its default controller stream
+    from .instruments import MousePMInstrument
 
-    class MouseInstrument:
-        def plan(self, timelines, sample_rate):
-            prog = {"active_from": active_from(timelines)}
-            for nm, tl in (("ratio", ratio_tl), ("mult", mult_tl)):
-                segs = [control.compile_portamento(
-                    tl, sample_rate,
-                    lambda k, p: {"curve": PaintCurve.linear(0.1),
-                                  "goal": F32(p["goal"]),
-                                  "note_on": True, "prev_note_on": True})]
-                prog[nm] = control.painter_program(segs, tl.total)
-            freq = np.zeros((len(timelines), max(len(t.starts) for t in timelines)),
-                            dtype=np.float32)
-            for v, tl in enumerate(timelines):
-                k = len(tl.starts)
-                if k:
-                    freq[v, :k] = tl.param_f32(lambda p: F32(p["freq"]))
-                    freq[v, k:] = freq[v, k - 1]
-            starts = np.full_like(freq, timelines[0].total, dtype=np.int64)
-            for v, tl in enumerate(timelines):
-                starts[v, :len(tl.starts)] = tl.starts
-            prog["freqs"] = SegProgram(starts=starts.astype(np.int64),
-                                       values={"freq": freq})
-            env_const = {"attack": PaintCurve.cubed(0.025),
-                         "decay": PaintCurve.cubed(0.1),
-                         "release": PaintCurve.cubed(1.0),
-                         "sustain_volume": 0.8}
-            segs = [control.compile_envelope(
-                tl, sample_rate,
-                lambda k, p: {**env_const, "note_on": bool(p["note_on"])})
-                for tl in timelines]
-            prog["env"] = control.painter_program(segs, timelines[0].total)
-            return prog
-
-        def init_state(self, num_voices):
-            return {"mod_cnt": jnp.zeros((num_voices,), jnp.uint32),
-                    "car_cnt": jnp.zeros((num_voices,), jnp.uint32)}
-
-        def render(self, state, prog, ctx):
-            act = ctx.t_idx[None, :] >= jnp.asarray(prog["active_from"])[:, None]
-            ratio = control.eval_painter(eval_chunk(prog["ratio"], ctx.t_idx), ctx.t_idx)
-            mult = control.eval_painter(eval_chunk(prog["mult"], ctx.t_idx), ctx.t_idx)
-            freq = eval_chunk(prog["freqs"], ctx.t_idx)["freq"]
-            mod_cnt, mod = oscillators.sine_osc(
-                state["mod_cnt"], freq * ratio, 0.0, ctx.sample_rate, act)
-            car_cnt, car = oscillators.sine_osc(
-                state["car_cnt"], freq, mod * mult, ctx.sample_rate, act)
-            env = control.eval_painter(eval_chunk(prog["env"], ctx.t_idx), ctx.t_idx)
-            return {"mod_cnt": mod_cnt, "car_cnt": car_cnt}, car * env
-
-    return _render_parts([(MouseInstrument(), tls)], seconds, sr)
+    return _render_parts([(MousePMInstrument(controllers=controllers), tls)],
+                         seconds, sr)
 
 
 # ---------------------------------------------------------------------------

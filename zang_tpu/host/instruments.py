@@ -351,6 +351,160 @@ class SquareWithEnvelope:
 
 
 # ---------------------------------------------------------------------------
+# example_mouse (examples/example_mouse.zig): phase-mod instrument whose
+# ratio/multiplier are driven by a continuous controller (the mouse) through
+# Portamento glides; spacebar toggles relative/absolute modulator frequency.
+
+
+class MousePMInstrument:
+    """Keyboard notes + mouse-driven PM parameters (example_mouse.zig).
+
+    Continuous controllers (LiveSession.push_controller / the offline
+    `controllers` plan argument): "x" -> modulator ratio, "y" ->
+    multiplier. Every move re-targets a Portamento glide (linear 0.1 s,
+    note_on/prev_note_on both true — example_mouse.zig:152-190) toward
+    goal = x*4 / y*2 in relative mode or x*880 Hz in absolute mode
+    (example_mouse.zig:160-166). Envelope: attack .025/decay .1/release
+    1.0 cubed, sustain 0.5 (example_mouse.zig:60-68).
+
+    `mode` is the spacebar toggle (example_mouse.zig:218-224), exposed as
+    a live parameter of kind "both": the render-side relative/absolute
+    select rides the per-block device vector (no re-jit), while the goal
+    mapping applies to subsequent controller paints host-side. Deviation
+    from the reference, documented: on the full-replan path a mode flip
+    remaps the whole controller history; the reference (and the
+    incremental planner's committed walk) only remaps from the flip on.
+    """
+
+    def __init__(self, mode: int = 0, controllers=None) -> None:
+        self.cfg = {"mode": int(mode)}
+        # offline default controller stream ({name: [(frame, value)]}) for
+        # plan() calls that pass none — e.g. the scripted ex_mouse config
+        self._controllers = controllers
+
+    # -- live parameter protocol (host/params.py) ---------------------------
+
+    def param_specs(self) -> List[ParamSpec]:
+        return [ParamSpec("mode", 2, self.cfg["mode"],
+                          "Modulator frequency: 0 relative / 1 absolute",
+                          kind="both")]
+
+    def device_params(self, values: Dict[str, int]) -> np.ndarray:
+        return np.asarray([float(values["mode"])], np.float32)
+
+    def apply_plan_params(self, values: Dict[str, int]) -> None:
+        self.cfg["mode"] = int(values.get("mode", self.cfg["mode"]))
+
+    # -- continuous controllers ----------------------------------------------
+
+    def controller_specs(self) -> Dict[str, float]:
+        """Pointer position in [0,1]^2; centered before the first move."""
+        return {"x": 0.5, "y": 0.5}
+
+    def _ratio_params(self, p: dict) -> dict:
+        v = float(p["value"])
+        goal = F32(v * 4.0) if self.cfg["mode"] == 0 else F32(v * 880.0)
+        return {"curve": PaintCurve.linear(0.1), "goal": goal,
+                "note_on": True, "prev_note_on": True}
+
+    def _mult_params(self, p: dict) -> dict:
+        return {"curve": PaintCurve.linear(0.1),
+                "goal": F32(float(p["value"]) * 2.0),
+                "note_on": True, "prev_note_on": True}
+
+    def _env_const(self):
+        return {"attack": PaintCurve.cubed(0.025),
+                "decay": PaintCurve.cubed(0.1),
+                "release": PaintCurve.cubed(1.0),
+                "sustain_volume": 0.5}
+
+    # -- planning ------------------------------------------------------------
+
+    def _controller_program(self, events, fn, sample_rate, total):
+        st = control.PortamentoWalkStream(sample_rate,
+                                          lambda k, p: fn(p))
+        evs = sorted(events)
+        for i, (s, v) in enumerate(evs):
+            e = evs[i + 1][0] if i + 1 < len(evs) else max(total, int(s) + 1)
+            st.feed(int(s), int(e), True, {"value": float(v)})
+        return control.painter_program([st.segs], total)
+
+    def plan(self, timelines, sample_rate, controllers=None):
+        total = timelines[0].total
+        if controllers is None:
+            controllers = self._controllers or {
+                n: [(0, v)] for n, v in self.controller_specs().items()}
+        prog = {"active_from": active_from(timelines)}
+        prog["ratio"] = self._controller_program(
+            controllers["x"], self._ratio_params, sample_rate, total)
+        prog["mult"] = self._controller_program(
+            controllers["y"], self._mult_params, sample_rate, total)
+        freq = np.zeros(
+            (len(timelines), max(1, max(len(t.starts) for t in timelines))),
+            dtype=np.float32)
+        starts = np.full_like(freq, total, dtype=np.int64)
+        for v, tl in enumerate(timelines):
+            k = len(tl.starts)
+            if k:
+                freq[v, :k] = tl.param_f32(default_freq)
+                freq[v, k:] = freq[v, k - 1]
+                starts[v, :k] = tl.starts
+        prog["freqs"] = SegProgram(starts=starts.astype(np.int64),
+                                   values={"freq": freq})
+        return _plan_envelope(timelines, sample_rate, self._env_const(),
+                              prog)
+
+    def live_planner(self, polyphony: int, sample_rate: float):
+        from . import liveplan as lp
+
+        env_const = self._env_const()
+        return lp.LivePlanKit(
+            {
+                "active_from": lp.IncActiveFrom(polyphony),
+                "env": lp.IncEnvelope(
+                    polyphony, sample_rate,
+                    lambda k, p: {**env_const,
+                                  "note_on": bool(p["note_on"])}),
+                "freqs": lp.IncValues(polyphony, {"freq": default_freq}),
+            },
+            controllers={
+                "x": {"ratio": lp.IncPortamento(
+                    1, sample_rate, lambda k, p: self._ratio_params(p))},
+                "y": {"mult": lp.IncPortamento(
+                    1, sample_rate, lambda k, p: self._mult_params(p))},
+            },
+        )
+
+    def init_state(self, num_voices: int):
+        return {"mod_cnt": jnp.zeros((num_voices,), jnp.uint32),
+                "car_cnt": jnp.zeros((num_voices,), jnp.uint32)}
+
+    # -- rendering -----------------------------------------------------------
+
+    def render(self, state, prog, ctx):
+        act = _active(prog, ctx)
+        ratio = control.eval_painter(
+            eval_chunk(prog["ratio"], ctx.t_idx), ctx.t_idx)  # [1, n]
+        mult = control.eval_painter(
+            eval_chunk(prog["mult"], ctx.t_idx), ctx.t_idx)
+        freq = eval_chunk(prog["freqs"], ctx.t_idx)["freq"]  # [V, n]
+        if "__params__" in prog:
+            mode = prog["__params__"][0]
+            # relative: mod freq = note freq * ratio; absolute: ratio IS
+            # the frequency (goal mapping already scaled it by 880)
+            base = jnp.where(mode > jnp.float32(0.5),
+                             jnp.ones_like(freq), freq)
+        else:
+            base = jnp.ones_like(freq) if self.cfg["mode"] else freq
+        mod_cnt, mod_sig = oscillators.sine_osc(
+            state["mod_cnt"], base * ratio, 0.0, ctx.sample_rate, act)
+        car_cnt, car = oscillators.sine_osc(
+            state["car_cnt"], freq, mod_sig * mult, ctx.sample_rate, act)
+        return ({"mod_cnt": mod_cnt, "car_cnt": car_cnt},
+                car * _env(prog, ctx))
+
+
+# ---------------------------------------------------------------------------
 # example_fmsynth (examples/example_fmsynth.zig): OPL-style 2-operator FM,
 # feedback on the modulator, tremolo/vibrato LFOs, and the reference host's
 # 22 live parameters (example_fmsynth.zig:375-398) exposed through the

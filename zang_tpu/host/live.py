@@ -64,6 +64,7 @@ class _PartState:
     params: Optional[object] = None  # ParamStore (host/params.py)
     param_vec: Optional[np.ndarray] = None  # f32 [P] device-kind values
     plan_nonce: int = 0  # bumped on plan-kind changes (re-plan cache key)
+    controllers: Optional[dict] = None  # {name: [(frame, value)]} streams
 
 
 class LiveSession:
@@ -123,6 +124,7 @@ class LiveSession:
         ]
         for part in self.parts:
             self._init_params(part)
+            self._init_controllers(part)
         self._horizon = 1 << 20  # plan horizon (frames); grows by doubling
         self._held_keys = {}  # part -> {key: note_id} (default key pairing)
 
@@ -140,9 +142,27 @@ class LiveSession:
         if not specs:
             return
         part.params = ParamStore(specs)
-        if any(s.kind == "device" for s in specs):
+        if any(s.kind in ("device", "both") for s in specs):
             part.param_vec = np.asarray(
                 inst.device_params(part.params.values), np.float32)
+
+    @staticmethod
+    def _init_controllers(part: _PartState) -> None:
+        """Seed continuous-controller streams for instruments that declare
+        them (controller_specs() -> {name: default}; the reference's
+        mouseEvent path, examples/example_mouse.zig): each starts with one
+        event at frame 0 carrying the default value."""
+        inst = part.instrument
+        if not hasattr(inst, "controller_specs"):
+            return
+        specs = dict(inst.controller_specs())
+        if not specs:
+            return
+        part.controllers = {name: [(0, float(v))]
+                            for name, v in specs.items()}
+        if part.planner is not None:
+            for name, v in specs.items():
+                part.planner.extend_controller(name, 0, float(v))
 
     # -- event input ------------------------------------------------------
 
@@ -196,6 +216,24 @@ class LiveSession:
             note_ids[key] = nid
         return nid
 
+    def push_controller(self, part: int, name: str, value: float,
+                        frame: Optional[int] = None) -> None:
+        """One continuous-controller move (the reference host's mouseEvent,
+        examples/example_mouse.zig): re-targets every plan channel bound to
+        `name` on the next block — the portamento glides toward the new
+        value from wherever it is now. frame defaults to the next block
+        start (the reference's getImpulseFrame() is always 0)."""
+        p = self.parts[part]
+        if p.controllers is None or name not in p.controllers:
+            have = [] if p.controllers is None else sorted(p.controllers)
+            raise ValueError(
+                f"part {part} has no controller {name!r}; available: {have}")
+        with self._lock:
+            f = self.frame if frame is None else int(frame)
+            p.controllers[name].append((f, float(value)))
+            if p.planner is not None:
+                p.planner.extend_controller(name, f, float(value))
+
     # -- live parameters (reference Parameter panel, example.zig:324-392) ---
 
     def param_specs(self, part: int) -> list:
@@ -220,11 +258,11 @@ class LiveSession:
         updates the instrument config the planners re-read (next block's
         open-segment paint / next plan)."""
         kinds = {part.params.by_name[n].kind for n in names}
-        if "device" in kinds:
+        if kinds & {"device", "both"}:
             part.param_vec = np.asarray(
                 part.instrument.device_params(part.params.values),
                 np.float32)
-        if "plan" in kinds:
+        if kinds & {"plan", "both"}:
             part.instrument.apply_plan_params(part.params.values)
             part.plan_nonce += 1  # invalidates the full re-plan cache
 
@@ -340,16 +378,25 @@ class LiveSession:
             # incremental path: planners carry the walk state, so the
             # window costs O(slot_capacity), independent of session age
             return part.planner.window(f0, f1, self.slot_capacity)
-        # plans are deterministic in (segments, horizon), so blocks with
-        # no new events reuse the cached plan — steady-state host cost is
-        # just the window slice, not O(session length) re-planning
+        # plans are deterministic in (segments, horizon, controllers), so
+        # blocks with no new events reuse the cached plan — steady-state
+        # host cost is just the window slice, not O(session) re-planning
         key = (tuple(len(sv) for sv in part.segs), self._horizon,
-               part.plan_nonce)
+               part.plan_nonce,
+               None if part.controllers is None else
+               tuple(sorted((n, len(evs))
+                            for n, evs in part.controllers.items())))
         if part.plan_cache is not None and part.plan_cache[0] == key:
             plan = part.plan_cache[1]
         else:
             tls = self._timelines(part, self._horizon)
-            plan = part.instrument.plan(tls, self.sample_rate)
+            if part.controllers is not None:
+                plan = part.instrument.plan(
+                    tls, self.sample_rate,
+                    controllers={n: list(evs)
+                                 for n, evs in part.controllers.items()})
+            else:
+                plan = part.instrument.plan(tls, self.sample_rate)
             part.plan_cache = (key, plan)
         return self._window_slice(plan, f0, f1, self._horizon)
 
@@ -543,6 +590,7 @@ class LiveSession:
                     "dev_state": dev,
                     "params": (None if p.params is None
                                else dict(p.params.values)),
+                    "controllers": copy.deepcopy(p.controllers),
                 }
                 for p, dev in zip(self.parts, dev_states)
             ]
@@ -609,4 +657,6 @@ class LiveSession:
                 if ps["planner"] is not None:
                     snap.graft_state(p.planner, ps["planner"])
                 p.dev_state = ps["dev_state"]
+                if ps.get("controllers") is not None:
+                    p.controllers = ps["controllers"]
                 p.plan_cache = None

@@ -186,6 +186,41 @@ class IncEnvelope(_PainterSegWindow):
         return segs
 
 
+class IncPortamento(_PainterSegWindow):
+    """Incremental twin of ops.control.compile_portamento: the walk carries
+    the current glide position, so each new goal re-targets from wherever
+    the value is now (Portamento.zig semantics). Used both for note-event
+    driven portamento and for continuous-controller channels (the mouse
+    example's ratio/mult paths, examples/example_mouse.zig)."""
+
+    def __init__(self, V: int, sample_rate: float,
+                 porta_params_fn: Callable) -> None:
+        super().__init__(V)
+        self.streams = [control.PortamentoWalkStream(sample_rate,
+                                                     porta_params_fn)
+                        for _ in range(V)]
+        self.open: List[Optional[tuple]] = [None] * V  # (start, reset, params)
+
+    def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
+        prev = self.open[v]
+        if prev is not None:
+            s0, r0, p0 = prev
+            self.streams[v].feed(s0, start, r0, p0)
+        self.open[v] = (start, reset, params)
+
+    def _voice_segs(self, v: int, f1: int) -> List[Seg]:
+        st = self.streams[v]
+        prev = self.open[v]
+        if prev is None:
+            return st.segs
+        snap = st.snapshot()
+        s0, r0, p0 = prev
+        st.feed(s0, max(f1, s0 + 1), r0, p0)  # provisional paint to window end
+        segs = list(st.segs)
+        st.restore(snap)
+        return segs
+
+
 class IncGate(_PainterSegWindow):
     """Incremental twin of ops.control.compile_gate (value is segment-local,
     so segments commit at event time; no provisional paint needed)."""
@@ -309,19 +344,38 @@ class IncActiveFrom:
 class LivePlanKit:
     """A program-dict of incremental planners, mirroring an instrument's
     plan() structure. static: extra non-planned leaves (e.g. a scalar
-    cutoff) passed through each window."""
+    cutoff) passed through each window.
+
+    controllers: {controller_name: {channel_name: planner}} — channels
+    driven by a continuous-controller stream (LiveSession.push_controller,
+    the reference's mouseEvent path) instead of note events. Controller
+    planners appear in the window like any other channel but only receive
+    extend_controller() events."""
 
     def __init__(self, planners: Dict[str, object],
-                 static: Optional[Dict[str, object]] = None) -> None:
+                 static: Optional[Dict[str, object]] = None,
+                 controllers: Optional[Dict[str, Dict[str, object]]] = None,
+                 ) -> None:
         self.planners = planners
         self.static = static or {}
+        self.controllers = controllers or {}
 
     def extend(self, v: int, start: int, reset: bool, params: dict) -> None:
         for p in self.planners.values():
             p.extend(v, start, reset, params)
 
+    def extend_controller(self, name: str, frame: int, value: float) -> None:
+        """One controller move: re-target every channel bound to `name`
+        (reset=True — each move restarts the glide toward the new value
+        from the current position, the mouse example's event train)."""
+        for p in self.controllers[name].values():
+            p.extend(0, frame, True, {"value": value})
+
     def window(self, f0: int, f1: int, KP: int) -> dict:
         prog = {name: p.window(f0, f1, KP)
                 for name, p in self.planners.items()}
+        for chans in self.controllers.values():
+            for name, p in chans.items():
+                prog[name] = p.window(f0, f1, KP)
         prog.update(self.static)
         return prog

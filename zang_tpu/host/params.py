@@ -48,7 +48,9 @@ class ParamSpec:
     default: int = 0
     desc: str = ""
     favor_low_values: bool = False
-    kind: str = "device"
+    kind: str = "device"  # "device" | "plan" | "both" (rides the vector
+    # AND re-plans — e.g. a mode that gates both a traced select and a
+    # host-side goal mapping, MousePMInstrument)
 
     def clamp(self, value: int) -> int:
         return max(0, min(self.num_values - 1, int(value)))

@@ -295,6 +295,12 @@ class LiveFleet:
         self._check_attached(lane)
         return self.lanes[lane].key_event(part, key, down, **kw)
 
+    def push_controller(self, lane: int, part: int, name: str,
+                        value: float) -> None:
+        """Continuous-controller move (mouse path) for one lane."""
+        self._check_attached(lane)
+        self.lanes[lane].push_controller(part, name, value)
+
     # -- live parameters (delegates; host/params.py) -------------------------
     # The per-lane f32 device vector is a leaf of the lane's program window,
     # so it rides the fleet's single packed per-block upload — a param

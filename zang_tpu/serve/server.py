@@ -21,6 +21,11 @@ frames; binary audio payloads):
                                         unmapped keys are silently ignored)
     {"op": "stats"}                     serving stats (block cadence vs
                                         realtime budget, lanes, clients)
+    {"op": "controller", "part": P, "name": N, "value": V}
+                                        continuous-controller move (the
+                                        reference's mouseEvent path,
+                                        examples/example_mouse.zig) —
+                                        fire-and-forget like "event"
     {"op": "params", "part": P}         this part's live-parameter specs +
                                         current values (reference Parameter
                                         panel, examples/common.zig:9-14)
@@ -541,6 +546,13 @@ class LiveServer:
             self.fleet.key_event(
                 lane, int(msg.get("part", 0)), msg["key"],
                 bool(msg["down"]), **kw)
+        elif op == "controller":
+            try:
+                self.fleet.push_controller(
+                    lane, int(msg.get("part", 0)), str(msg["name"]),
+                    float(msg["value"]))
+            except ValueError as e:
+                raise _ClientError(str(e))
         elif op == "params":
             part = int(msg.get("part", 0))
             specs = self.fleet.param_specs(lane, part)
@@ -1059,6 +1071,11 @@ class LiveClient:
     def send_key(self, part: int, key: str, down: bool, **kw) -> None:
         _send_json(self.sock, {"op": "key", "part": part, "key": key,
                                "down": down, **kw})
+
+    def send_controller(self, part: int, name: str, value: float) -> None:
+        """Continuous-controller move (mouse path); fire-and-forget."""
+        _send_json(self.sock, {"op": "controller", "part": part,
+                               "name": name, "value": value})
 
     def _next_frame(self):
         """(kind, value): ("block", array) or (op, header dict)."""

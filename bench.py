@@ -206,12 +206,22 @@ def bench_serve(chunk):
             RenderJob(name=f"job_{i:02d}", build=mk(seconds), volume=0.25)
             for i in range(songs)
         ]
-        t0 = time.time()
-        results = br.run(jobs)
-        wall = time.time() - t0
+        # best-of-N like the song/fleet metrics: one pass mixes host prep
+        # (1-core-box contention-sensitive) with remote-tunnel jitter, and
+        # the r02 driver capture showed 28% swings from a single sample
+        passes = int(os.environ.get("ZANG_BENCH_SERVE_PASSES", 3))
+        walls = []
+        for _ in range(passes):
+            t0 = time.time()
+            results = br.run(jobs)
+            walls.append(time.time() - t0)
+            assert all(r.status == "ok" for r in results), \
+                [r.error for r in results]
     audio = sum(r.seconds for r in results if r.status == "ok")
-    assert all(r.status == "ok" for r in results), [r.error for r in results]
-    rtf = audio / wall
+    rtf = audio / min(walls)
+    spread = (max(walls) - min(walls)) / min(walls)
+    print(f"# bench_serve walls={['%.1f' % w for w in walls]} "
+          f"spread={spread:.0%}", file=sys.stderr)
     emit("batch_serve_rtf_aggregate", round(rtf, 1), "x_realtime_wav_delivery",
          round(rtf, 1))
 

@@ -118,3 +118,293 @@ class TestCompilerFuzz:
             except Exception as e:  # noqa: BLE001
                 raise AssertionError(
                     f"case {i}: internal {type(e).__name__}: {e}\n{src!r}")
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: random VALID scripts, engine vs oracle interpreter.
+#
+# The generator walks the zangscript grammar (script/parse.py; reference
+# src/zangscript/parse.zig) producing well-typed scripts over every builtin
+# except Noise (the engine draws threefry tapes the sequential oracle cannot
+# reproduce). Renders go through the JAX backend (ScriptInstrument) and the
+# bytecode oracle interpreter (oracle/script.py); parity budget is the
+# FIDELITY.md render budget.
+#
+# Structural rules that keep the comparison meaningful (not grammar limits):
+#   - oscillator freq inputs come only from bit-exact trajectories (the note
+#     freq, vibrato sines, Portamento/Cycle programs) — feeding a Filter or
+#     Distortion output into freq would phase-accumulate that module's
+#     ulp-level formulation differences into tens of dB, drowning real
+#     miscompiles in arithmetic noise;
+#   - division only by constants >= 0.5; enum payloads in module-safe ranges.
+#
+# ZANG_FUZZ_SEEDS=N deepens the sweep (default 24 in the suite; the 200+
+# acceptance run is a manual invocation).
+
+
+class ScriptGen:
+    """Random valid-script generator over the zangscript grammar."""
+
+    def __init__(self, rng: random.Random) -> None:
+        self.rng = rng
+        self.curves = []  # (name, src) top-level defcurves
+        self.lets = []  # statements for the root body
+        self.n_lets = 0
+        self.submodule = None  # (name, src)
+
+    # -- leaf helpers -------------------------------------------------------
+
+    def const(self, lo, hi, nd=3):
+        return f"{self.rng.uniform(lo, hi):.{nd}f}"
+
+    def paint_curve(self, fast=False):
+        kind = self.rng.choice(["linear", "squared", "cubed"])
+        dur = self.const(0.005, 0.12 if fast else 0.6)
+        return f".{kind}({dur})"
+
+    def defcurve(self):
+        name = f"c{len(self.curves)}"
+        k = self.rng.randrange(3, 6)
+        ts = sorted(self.rng.uniform(0.0, 1.5) for _ in range(k))
+        pts = []
+        last_t = -1.0
+        for t in ts:
+            if t - last_t < 1e-3:
+                t = last_t + 1e-3
+            last_t = t
+            pts.append(f"    {t:.4f} {self.rng.uniform(-0.9, 0.9):.4f}")
+        self.curves.append((name, f"{name} = defcurve\n" + "\n".join(pts) + "\nend"))
+        return name
+
+    def let(self, expr):
+        name = f"a{self.n_lets}"
+        self.n_lets += 1
+        self.lets.append(f"    {name} = {expr}")
+        return name
+
+    # -- typed expression grammar ------------------------------------------
+
+    def freq_expr(self, depth):
+        r = self.rng.random()
+        if r < 0.40:
+            return "freq"
+        if r < 0.60:
+            return f"freq * {self.const(0.25, 4.0)}"
+        if r < 0.75:  # vibrato: shallow sine FM (bit-exact u32 phase)
+            rate = self.const(0.5, 8.0)
+            eps = self.const(0.002, 0.04)
+            return (f"freq * (1 + {eps} * "
+                    f"SineOsc(freq={rate}, phase=0))")
+        if r < 0.88:  # portamento re-target (painter program, bit-exact)
+            goal = self.const(80.0, 1200.0, 1)
+            return (f"Portamento(curve={self.paint_curve(fast=True)}, "
+                    f"goal={goal}, note_on, prev_note_on=note_on)")
+        # cycle phasor scaled into an audio band
+        speed = self.const(0.5, 4.0)
+        return (f"(Cycle(speed={speed}) * {self.const(50.0, 400.0, 1)} "
+                f"+ {self.const(60.0, 300.0, 1)})")
+
+    def control_expr(self, depth):
+        """A [0,1]-ish control signal (envelope/gate/curve)."""
+        r = self.rng.random()
+        if r < 0.5:
+            return (f"Envelope(attack={self.paint_curve()}, "
+                    f"decay={self.paint_curve()}, "
+                    f"release={self.paint_curve()}, "
+                    f"sustain_volume={self.const(0.1, 0.95)}, note_on)")
+        if r < 0.8:
+            return "Gate(note_on)"
+        fn = self.rng.choice(["linear", "smoothstep"])
+        return f"Curve(function=.{fn}, curve={self.defcurve()})"
+
+    def osc_expr(self, depth):
+        r = self.rng.random()
+        freq = self.freq_expr(depth)
+        if r < 0.4:
+            phase = "0"
+            if depth > 0 and self.rng.random() < 0.45:
+                # phase modulation: offsets don't accumulate, any signal ok
+                phase = self.let(self.signal_expr(depth - 1))
+            return f"SineOsc(freq={freq}, phase={phase})"
+        if r < 0.7:
+            return f"PulseOsc(freq={freq}, color={self.const(0.08, 0.92)})"
+        return f"TriSawOsc(freq={freq}, color={self.const(0.0, 0.9)})"
+
+    def effect_expr(self, depth):
+        inner = self.let(self.signal_expr(depth - 1))
+        r = self.rng.random()
+        if r < 0.45:
+            ftype = self.rng.choice(
+                ["low_pass", "band_pass", "high_pass", "notch", "all_pass",
+                 "bypass"])
+            cutoff = self.const(0.05, 0.7)
+            if self.rng.random() < 0.3:  # modulated cutoff (cob)
+                cutoff = (f"({cutoff} + {self.const(0.02, 0.2)} * "
+                          f"{self.let(self.control_expr(0))})")
+            return (f"Filter(input={inner}, type=.{ftype}, "
+                    f"cutoff={cutoff}, res={self.const(0.0, 0.9)})")
+        if r < 0.7:
+            dtype = self.rng.choice(["overdrive", "clip"])
+            return (f"Distortion(input={inner}, type=.{dtype}, "
+                    f"ingain={self.const(0.3, 1.2)}, "
+                    f"outgain={self.const(0.3, 0.8)}, "
+                    f"offset={self.const(-0.2, 0.2)})")
+        return (f"Decimator(input={inner}, "
+                f"fake_sample_rate={self.const(1500.0, 11000.0, 0)})")
+
+    def track_expr(self, depth):
+        k = self.rng.randrange(2, 5)
+        times = sorted(round(self.rng.uniform(0.0, 0.6), 3) for _ in range(k))
+        times = [t + i * 1e-3 for i, t in enumerate(times)]
+        rows = "\n".join(
+            f"        {t:.4f} (g={self.const(0.2, 1.0)})" for t in times)
+        speed = self.rng.choice(["1", "0.5", "2"])
+        body = self.let(self.signal_expr(max(0, depth - 1)))
+        return (f"from deftrack g: constant, begin\n{rows}\n    end, {speed} "
+                f"begin\n        out {body} * g\n    end")
+
+    def delay_expr(self, depth):
+        n = self.rng.choice([1024, 4410, 11025])
+        g = self.const(0.2, 0.6)
+        sig = self.let(self.signal_expr(max(0, depth - 1)))
+        return (f"delay {n} begin\n"
+                f"        fb = feedback * {g}\n"
+                f"        feedback {sig} + fb\n"
+                f"        out fb + {sig}\n    end")
+
+    def signal_expr(self, depth):
+        if depth <= 0:
+            return self.osc_expr(0)
+        r = self.rng.random()
+        if r < 0.30:
+            return self.osc_expr(depth)
+        if r < 0.50:
+            return self.effect_expr(depth)
+        if r < 0.62:
+            a = self.signal_expr(depth - 1)
+            b = self.signal_expr(depth - 1)
+            op = self.rng.choice(["+", "-", "*"])
+            return f"({a} {op} {b})"
+        if r < 0.72:
+            return f"({self.signal_expr(depth - 1)} * {self.control_expr(depth)})"
+        if r < 0.80:
+            return f"({self.signal_expr(depth - 1)} / {self.const(0.5, 3.0)})"
+        if r < 0.88:
+            return self.track_expr(depth)
+        if r < 0.94:
+            return self.delay_expr(depth)
+        return self.sub_call(depth)
+
+    def sub_call(self, depth):
+        if self.submodule is None:
+            inner = ScriptGen(self.rng)
+            body = inner.root_body(depth=1, n_terms=1)
+            self.curves.extend(inner.curves)
+            self.submodule = (
+                "Sub",
+                "Sub = defmodule freq: cob, note_on: boolean, begin\n"
+                + body + "\nend")
+        return f"Sub(freq={self.freq_expr(0)}, note_on)"
+
+    # -- whole scripts ------------------------------------------------------
+
+    def root_body(self, depth, n_terms):
+        # first term always audible: osc * control
+        terms = [f"{self.let(self.osc_expr(depth))} * "
+                 f"{self.let(self.control_expr(depth))}"]
+        for _ in range(n_terms - 1):
+            terms.append(self.let(self.signal_expr(depth)))
+        mix = " + ".join(f"{t} * 0.3" if " " not in t else f"({t}) * 0.3"
+                         for t in terms)
+        return "\n".join(self.lets) + f"\n    out {mix}"
+
+    def script(self):
+        body = self.root_body(depth=self.rng.randrange(1, 4),
+                              n_terms=self.rng.randrange(1, 3))
+        parts = []
+        if self.submodule is not None:
+            parts.append(self.submodule[1])
+        parts.append(
+            "Root = defmodule freq: cob, note_on: boolean, begin\n"
+            + body + "\nend")
+        parts.extend(src for _, src in self.curves)
+        return "\n".join(parts)
+
+
+def _fuzz_song(rng: random.Random):
+    from zang_tpu.core.notes import SongEvent
+
+    song = []
+    t = 0.05
+    nid = 1
+    for _ in range(rng.randrange(2, 5)):
+        freq = rng.uniform(80.0, 900.0)
+        dur = rng.uniform(0.08, 0.4)
+        song.append(SongEvent({"freq": freq, "note_on": True}, t, nid))
+        song.append(SongEvent({"freq": freq, "note_on": False}, t + dur, nid))
+        nid += 1
+        t += rng.uniform(0.1, 0.35)
+    return song
+
+
+def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
+    """Returns (rms_dbfs deviation, script source)."""
+    import numpy as np
+
+    from zang_tpu.core.timeline import compile_timelines
+    from zang_tpu.graph.render import Performance, render_performance
+    from zang_tpu.oracle.script import render_script_oracle
+    from zang_tpu.script.jax_backend import ScriptInstrument
+
+    rng = random.Random(777000 + seed)
+    src = ScriptGen(rng).script()
+    total = int(seconds * sr)
+    song = _fuzz_song(rng)
+    polyphony = rng.choice([1, 1, 2])
+    cs = compile_script(src)
+    inst = ScriptInstrument(cs, "Root")
+    tls = compile_timelines(song, polyphony, sr, total)
+    engine = render_performance(Performance([(inst, tls)], sr), total,
+                                chunk_size=8192)
+    oracle = render_script_oracle(cs, "Root", song, total, sr,
+                                  polyphony=polyphony)
+    a = np.asarray(engine)
+    b = np.asarray(oracle)
+    assert a.shape == b.shape
+    d = (a - b).astype(np.float64)
+    ref = float(np.sqrt(np.mean(b.astype(np.float64) ** 2)))
+    dev = 20.0 * np.log10(float(np.sqrt(np.mean(d * d))) + 1e-30)
+    return dev, ref, src
+
+
+FUZZ_SEEDS = int(os.environ.get("ZANG_FUZZ_SEEDS", "24"))
+
+
+@pytest.mark.slow
+class TestDifferential:
+    @pytest.mark.parametrize("seed", range(FUZZ_SEEDS))
+    def test_random_script_parity(self, seed):
+        dev, ref, src = run_differential_seed(seed)
+        assert ref > 1e-5, f"seed {seed}: near-silent render\n{src}"
+        assert dev < -90.0, (
+            f"seed {seed}: engine vs oracle {dev:.1f} dBFS\n--- script ---\n"
+            f"{src}")
+
+
+if __name__ == "__main__":
+    # manual deep sweep: ZANG_FUZZ_SEEDS=200 python tests/test_script_fuzz.py
+    import sys
+
+    bad = 0
+    for s in range(FUZZ_SEEDS):
+        try:
+            dev, ref, src = run_differential_seed(s)
+            status = "ok " if (dev < -90.0 and ref > 1e-5) else "BAD"
+            if status == "BAD":
+                bad += 1
+                print(f"--- seed {s} script ---\n{src}")
+            print(f"seed {s}: {status} dev {dev:.1f} dBFS ref {ref:.3g}")
+        except Exception as e:  # noqa: BLE001 — sweep reporter
+            bad += 1
+            print(f"seed {s}: ERROR {type(e).__name__}: {e}")
+        sys.stdout.flush()
+    sys.exit(1 if bad else 0)

@@ -56,18 +56,55 @@ def _simple_song(notes: List[Tuple[float, float, float]], extra=None):
 
 
 def _render_script(src, name, song, seconds, sr=44100.0, polyphony=1,
-                   chunk=16384, param_map=None):
+                   chunk=16384, param_map=None, backend="tpu"):
     total = int(seconds * sr)
     cs = compile_script(src)
+    if backend == "oracle":
+        from ..oracle.script import render_script_oracle
+
+        return render_script_oracle(cs, name, song, total, sr,
+                                    polyphony=polyphony,
+                                    param_map=param_map), sr
     inst = ScriptInstrument(cs, name, param_map)
     tls = compile_timelines(song, polyphony, sr, total)
     return render_performance(Performance([(inst, tls)], sr), total,
                               chunk_size=chunk), sr
 
 
+def _oracle_twin_part(inst, tls):
+    """(make_module(v), make_params, num_temps, tls) twin for the standard
+    examples/modules.zig instruments (oracle/instruments.py)."""
+    from ..oracle import examples as oex
+    from ..oracle import instruments as oi
+
+    if isinstance(inst, ti.PMOscInstrument):
+        rd = inst.release_duration
+        return (lambda v: oi.PMOscInstrument(rd, mode="parity"),
+                oex.std_params, 3, tls)
+    if isinstance(inst, ti.FilteredSawtoothInstrument):
+        return (lambda v: oi.FilteredSawtoothInstrument(mode="parity"),
+                oex.std_params, 3, tls)
+    if isinstance(inst, ti.NiceInstrument):
+        color = float(inst.color)
+        return (lambda v: oi.NiceInstrument(color, mode="parity"),
+                oex.std_params, 2, tls)
+    if isinstance(inst, ti.HardSquareInstrument):
+        return (lambda v: oi.HardSquareInstrument(mode="parity"),
+                oex.std_params, 2, tls)
+    raise NotImplementedError(type(inst).__name__)
+
+
 def _render_parts(parts, seconds, sr, num_channels=1, post_fn=None,
-                  post_init=None, chunk=16384):
+                  post_init=None, chunk=16384, backend="tpu",
+                  oracle_parts=None, oracle_post=None):
     total = int(seconds * sr)
+    if backend == "oracle":
+        from ..oracle import examples as oex
+
+        oparts = (oracle_parts() if oracle_parts is not None
+                  else [_oracle_twin_part(inst, tls) for inst, tls in parts])
+        post = oracle_post() if oracle_post is not None else None
+        return oex.render_parts(oparts, total, sr, num_channels, post), sr
     perf = Performance(parts, sr, num_channels=num_channels, post_fn=post_fn,
                        post_init_state=post_init)
     return render_performance(perf, total, chunk_size=chunk), sr
@@ -78,7 +115,7 @@ def _render_parts(parts, seconds, sr, num_channels=1, post_fn=None,
 # (examples/example_play.zig: PMOscInstrument(1.0) / FilteredSawtooth).
 
 
-def ex_play(seconds=6.0):
+def ex_play(seconds=6.0, backend="tpu"):
     sr = 48000.0
     melody = _simple_song([
         (0.2 + i * 0.45, 0.35, A4 * tt.rel_freq(n))
@@ -90,7 +127,7 @@ def ex_play(seconds=6.0):
     tls1 = compile_timelines(drone, 1, sr, total)
     return _render_parts(
         [(ti.PMOscInstrument(1.0), tls0), (ti.FilteredSawtoothInstrument(), tls1)],
-        seconds, sr)
+        seconds, sr, backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -106,9 +143,10 @@ end
 """
 
 
-def ex_envelope(seconds=8.0):
+def ex_envelope(seconds=8.0, backend="tpu"):
     song = _simple_song([(0.1, 4.0, A4 * tt.c2)])
-    return _render_script(ENVELOPE_SCRIPT, "EnvDemo", song, seconds, sr=48000.0)
+    return _render_script(ENVELOPE_SCRIPT, "EnvDemo", song, seconds,
+                          sr=48000.0, backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -122,9 +160,10 @@ end
 """
 
 
-def ex_vibrato(seconds=4.0):
+def ex_vibrato(seconds=4.0, backend="tpu"):
     song = _simple_song([(0.1, 1.5, A4 * tt.a3), (2.0, 1.5, A4 * tt.d4)])
-    return _render_script(VIBRATO_SCRIPT, "Vib", song, seconds, sr=48000.0)
+    return _render_script(VIBRATO_SCRIPT, "Vib", song, seconds, sr=48000.0,
+                          backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +196,7 @@ end
 """
 
 
-def ex_laser(seconds=3.0, seed=0):
+def ex_laser(seconds=3.0, seed=0, backend="tpu"):
     rng = np.random.default_rng(seed)
     song = []
     t = 0.1
@@ -172,10 +211,11 @@ def ex_laser(seconds=3.0, seed=0):
                            "note_on": False}, t + 0.25, nid))
         nid += 1
         t += 0.3
-    return _render_script(LASER_SCRIPT, "Laser", song, seconds)
+    return _render_script(LASER_SCRIPT, "Laser", song, seconds,
+                          backend=backend)
 
 
-def ex_curve(seconds=4.5):
+def ex_curve(seconds=4.5, backend="tpu"):
     src = """
 CurvePlayer = defmodule freq_mul: constant, note_on: boolean, begin
     out SineOsc(
@@ -201,7 +241,7 @@ end
     song = _simple_song([(0.0, 4.0, 0.0)])
     for e in song:
         e.params["freq_mul"] = 1.0
-    return _render_script(src, "CurvePlayer", song, seconds)
+    return _render_script(src, "CurvePlayer", song, seconds, backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -227,9 +267,10 @@ end
 """
 
 
-def ex_subsong(seconds=8.0):
+def ex_subsong(seconds=8.0, backend="tpu"):
     song = _simple_song([(0.0, 5.5, A4 * tt.c4), (6.0, 1.8, A4 * tt.e4)])
-    return _render_script(SUBSONG_SCRIPT, "SubtrackPlayer", song, seconds)
+    return _render_script(SUBSONG_SCRIPT, "SubtrackPlayer", song, seconds,
+                          backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +278,7 @@ def ex_subsong(seconds=8.0):
 # impulse streams are active — host-side span intersection feeding one voice.
 
 
-def ex_two(seconds=4.0):
+def ex_two(seconds=4.0, backend="tpu"):
     sr = 48000.0
     # stream 0: keys (freq); stream 1: color changes; intersect note_on
     s0 = [(0.2, 1.2, A4 * tt.a3), (1.8, 1.8, A4 * tt.c4)]
@@ -260,7 +301,7 @@ Two = defmodule freq: cob, note_on: boolean, begin
     out SineOsc(freq, phase=0) * e * 0.5
 end
 """
-    return _render_script(src, "Two", song, seconds, sr=sr)
+    return _render_script(src, "Two", song, seconds, sr=sr, backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +310,7 @@ end
 # host generates its impulse stream and HardSquare plays it.
 
 
-def ex_arpeggiator(seconds=4.0):
+def ex_arpeggiator(seconds=4.0, backend="tpu"):
     sr = 48000.0
     step = 0.03
     chords = [
@@ -292,7 +333,8 @@ def ex_arpeggiator(seconds=4.0):
     song.sort(key=lambda e: (e.t, e.note_id))
     total = int(seconds * sr)
     tls = compile_timelines(song, 1, sr, total)
-    return _render_parts([(ti.HardSquareInstrument(), tls)], seconds, sr)
+    return _render_parts([(ti.HardSquareInstrument(), tls)], seconds, sr,
+                         backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +342,7 @@ def ex_arpeggiator(seconds=4.0):
 # (one per key) + Decimator bitcrush on the mix.
 
 
-def ex_polyphony(seconds=5.0, dec_fake_rate=6000.0):
+def ex_polyphony(seconds=5.0, dec_fake_rate=6000.0, backend="tpu"):
     sr = 48000.0
     total = int(seconds * sr)
     keys = [(i, 0.15 + 0.11 * i) for i in range(12)]  # staggered chord roll
@@ -334,8 +376,14 @@ def ex_polyphony(seconds=5.0, dec_fake_rate=6000.0):
         return {"cnt": jnp.full((1,), 0xFFFFFFFF, jnp.uint32),
                 "val": jnp.zeros((1,), jnp.float32)}
 
+    def oracle_post():
+        from ..oracle import examples as oex
+
+        return oex.DecimatorPost(dec_fake_rate)
+
     return _render_parts([(inst, tlss)], seconds, sr, post_fn=post_fn,
-                         post_init=post_init)
+                         post_init=post_init, backend=backend,
+                         oracle_post=oracle_post)
 
 
 # ---------------------------------------------------------------------------
@@ -381,9 +429,13 @@ class _StereoNoise:
         return {"pan_cnt": pan_cnt, "l0": l, "b0": b}, out
 
 
-def ex_stereo(seconds=6.0):
+def ex_stereo(seconds=6.0, backend="tpu"):
     sr = 48000.0
     total = int(seconds * sr)
+    if backend == "oracle":
+        from ..oracle import examples as oex
+
+        return oex.render_stereo_noise(total, sr, chunk=16384), sr
     song = _simple_song([(0.0, seconds, 1.0)])
     tls = compile_timelines(song, 1, sr, total)
     return _render_parts([(_StereoNoise(), tls)], seconds, sr, num_channels=2)
@@ -448,7 +500,7 @@ class _DetunedInstrument:
         return {"cnt": cnt, "nl": nl, "nb": nb, "l": l, "b": b}, out
 
 
-def ex_detuned(seconds=5.0):
+def ex_detuned(seconds=5.0, backend="tpu"):
     from ..ops import delay as d_ops
 
     sr = 48000.0
@@ -463,9 +515,23 @@ def ex_detuned(seconds=5.0):
         state, stereo = d_ops.stereo_echoes(state, mix, 0.6, 0.7)
         return state, stereo
 
+    def oracle_parts():
+        from ..oracle import examples as oex
+
+        warble = oex.detuned_warble(len(tls), total, sr, chunk=16384)
+        return [(lambda v: oex.DetunedTwin(warble[v], sr),
+                 oex.std_params, 2, tls)]
+
+    def oracle_post():
+        from ..oracle import examples as oex
+
+        return oex.StereoEchoesPost(15000, 0.6, 0.7)
+
     return _render_parts([(_DetunedInstrument(), tls)], seconds, sr,
                          num_channels=2, post_fn=post_fn,
-                         post_init=lambda: d_ops.stereo_echoes_init(15000))
+                         post_init=lambda: d_ops.stereo_echoes_init(15000),
+                         backend=backend, oracle_parts=oracle_parts,
+                         oracle_post=oracle_post)
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +540,7 @@ def ex_detuned(seconds=5.0):
 # when all keys were released.
 
 
-def ex_portamento(seconds=4.0):
+def ex_portamento(seconds=4.0, backend="tpu"):
     sr = 48000.0
     total = int(seconds * sr)
     # scripted mono keyboard: (time, freq or None=all released)
@@ -539,7 +605,18 @@ def ex_portamento(seconds=4.0):
             env = control.eval_painter(eval_chunk(prog["env"], ctx.t_idx), ctx.t_idx)
             return {"cnt": cnt}, env * osc
 
-    return _render_parts([(PortaInstrument(), tls)], seconds, sr)
+    def oracle_parts():
+        from ..oracle import examples as oex
+
+        def porta_params(sr_, p):
+            return {"sample_rate": sr_, "freq": p["freq"],
+                    "note_on": p["note_on"],
+                    "prev_note_on": p["prev_note_on"]}
+
+        return [(lambda v: oex.PortaTwin(), porta_params, 2, tls)]
+
+    return _render_parts([(PortaInstrument(), tls)], seconds, sr,
+                         backend=backend, oracle_parts=oracle_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -547,7 +624,7 @@ def ex_portamento(seconds=4.0):
 # follow portamento-smoothed pointer coordinates (linear 0.1 glides).
 
 
-def ex_mouse(seconds=4.0):
+def ex_mouse(seconds=4.0, backend="tpu"):
     sr = 48000.0
     total = int(seconds * sr)
     # scripted pointer path: (t, x, y) in [0,1]^2, sampled as events with
@@ -569,8 +646,19 @@ def ex_mouse(seconds=4.0):
     # trajectory in as its default controller stream
     from .instruments import MousePMInstrument
 
+    def oracle_parts():
+        from ..oracle import examples as oex
+
+        ratio = oex.controller_buffer(controllers["x"], total, sr,
+                                      lambda v: F32(v * 4.0))
+        mult = oex.controller_buffer(controllers["y"], total, sr,
+                                     lambda v: F32(v * 2.0))
+        return [(lambda v: oex.MousePMTwin(ratio, mult),
+                 oex.std_params, 2, tls)]
+
     return _render_parts([(MousePMInstrument(controllers=controllers), tls)],
-                         seconds, sr)
+                         seconds, sr, backend=backend,
+                         oracle_parts=oracle_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +670,7 @@ def ex_mouse(seconds=4.0):
 from .instruments import FMSynthInstrument  # noqa: E402
 
 
-def ex_fmsynth(seconds=4.0):
+def ex_fmsynth(seconds=4.0, backend="tpu"):
     sr = 48000.0
     total = int(seconds * sr)
     song = _simple_song([
@@ -590,7 +678,16 @@ def ex_fmsynth(seconds=4.0):
         for i, n in enumerate([-9, -5, -2, 0, 3, 0, -2, -5])
     ])
     tls = compile_timelines(song, 8, sr, total)
-    return _render_parts([(FMSynthInstrument(), tls)], seconds, sr, chunk=16384)
+    inst = FMSynthInstrument()
+
+    def oracle_parts():
+        from ..oracle import examples as oex
+
+        return [(lambda v: oex.FMSynthTwin(inst.mod, inst.car, inst.algorithm),
+                 oex.std_params, 1, tls)]
+
+    return _render_parts([(inst, tls)], seconds, sr, chunk=16384,
+                         backend=backend, oracle_parts=oracle_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -599,9 +696,13 @@ def ex_fmsynth(seconds=4.0):
 # arguments of the shared SamplerInstrument (host/configs.py).
 
 
-def ex_sampler(seconds=6.0):
+def ex_sampler(seconds=6.0, backend="tpu"):
     from .configs import build_sampler_performance
 
+    if backend == "oracle":
+        from ..oracle import examples as oex
+
+        return oex.render_sampler_chain(seconds)[None, :], 44100.0
     perf, total = build_sampler_performance(seconds=seconds)
     return render_performance(perf, total, chunk_size=16384), perf.sample_rate
 
@@ -613,7 +714,7 @@ def ex_sampler(seconds=6.0):
 # exercised, not just round-robin.
 
 
-def ex_polyphony2(seconds=6.0):
+def ex_polyphony2(seconds=6.0, backend="tpu"):
     sr = 48000.0
     a4 = 220.0
     total = int(seconds * sr)
@@ -622,7 +723,8 @@ def ex_polyphony2(seconds=6.0):
         for i, n in enumerate([0, 4, 7, 12, 16, 12, 7, 4, 0, -5, -1, 2, 7])
     ])
     tls = compile_timelines(song, 3, sr, total)
-    return _render_parts([(ti.NiceInstrument(0.3), tls)], seconds, sr)
+    return _render_parts([(ti.NiceInstrument(0.3), tls)], seconds, sr,
+                         backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -630,7 +732,7 @@ def ex_polyphony2(seconds=6.0):
 # voice through StereoEchoes(15000) (examples/modules.zig:464-525).
 
 
-def ex_delay(seconds=8.0):
+def ex_delay(seconds=8.0, backend="tpu"):
     from ..ops import delay as d_ops
 
     sr = 48000.0
@@ -647,8 +749,14 @@ def ex_delay(seconds=8.0):
     def post_init():
         return d_ops.stereo_echoes_init(15000)
 
+    def oracle_post():
+        from ..oracle import examples as oex
+
+        return oex.StereoEchoesPost(15000, 0.6, 0.7)
+
     return _render_parts([(ti.HardSquareInstrument(), tls)], seconds, sr,
-                         num_channels=2, post_fn=post_fn, post_init=post_init)
+                         num_channels=2, post_fn=post_fn, post_init=post_init,
+                         backend=backend, oracle_post=oracle_post)
 
 
 # ---------------------------------------------------------------------------
@@ -683,13 +791,14 @@ end
 """
 
 
-def ex_script(seconds=6.0):
+def ex_script(seconds=6.0, backend="tpu"):
     sr = 44100.0
     song = _simple_song([
         (0.2 + 0.45 * i, 0.3, A4 * tt.rel_freq(n))
         for i, n in enumerate([-9, -2, 0, 3, 0, -2, -9, -14])
     ])
-    return _render_script(DEMO_SCRIPT, "DemoSynth", song, seconds, sr=sr)
+    return _render_script(DEMO_SCRIPT, "DemoSynth", song, seconds, sr=sr,
+                          backend=backend)
 
 
 # ---------------------------------------------------------------------------
@@ -699,7 +808,7 @@ def ex_script(seconds=6.0):
 # rendered again — the two halves are concatenated.
 
 
-def ex_script_runtime(seconds=6.0):
+def ex_script_runtime(seconds=6.0, backend="tpu"):
     import tempfile
 
     from ..script.runtime import LiveScript
@@ -711,6 +820,14 @@ def ex_script_runtime(seconds=6.0):
         (0.15 + 0.4 * i, 0.3, A4 * tt.rel_freq(n))
         for i, n in enumerate([0, 3, 7, 3, 0, -5])
     ])
+    if backend == "oracle":
+        edited = (DEMO_SCRIPT.replace("color=0.3", "color=0.5")
+                  .replace(".cubed(0.6)", ".cubed(0.2)"))
+        first = _render_script(DEMO_SCRIPT, "DemoSynth", song, half, sr=sr,
+                               polyphony=2, backend="oracle")[0]
+        second = _render_script(edited, "DemoSynth", song, half, sr=sr,
+                                polyphony=2, backend="oracle")[0]
+        return np.concatenate([first, second], axis=-1), sr
     tls = compile_timelines(song, 2, sr, total)
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
         f.write(DEMO_SCRIPT)
@@ -737,10 +854,12 @@ def ex_script_runtime(seconds=6.0):
 # Bach Toccata. Full 385 s render is the bench; this entry renders a slice.
 
 
-def ex_song(seconds=20.0):
+def ex_song(seconds=20.0, backend="tpu"):
     from ..graph.render import render_performance as rp
     from . import song as sm
 
+    if backend == "oracle":
+        return np.atleast_2d(sm.render_song_oracle(seconds)), float(sm.SAMPLE_RATE)
     total = int(seconds * sm.SAMPLE_RATE)
     perf = sm.build_performance(total)
     return rp(perf, total, chunk_size=65536), float(sm.SAMPLE_RATE)

@@ -46,16 +46,34 @@ def _cob_args(x: COB, span: Span):
 
 
 class Painter:
-    """Goal-seeking segment painter (src/zang/painter.zig:36-121)."""
+    """Goal-seeking segment painter (src/zang/painter.zig:36-121).
 
-    def __init__(self) -> None:
+    exact:  the reference's sequential loop (t += t_step per sample,
+            value accumulated from the live t) — zo_paint_toward.
+    parity: the device contract (ops/control.py): stage *boundaries* from
+            the f32-exact sequential t table, per-sample *values* from the
+            closed form min(t0 + (k+1)*t_step, 1) re-anchored at each
+            paint call — bit-identical to eval_painter + _PainterWalk
+            (ops/control.py:141-263)."""
+
+    def __init__(self, mode: str = "exact") -> None:
+        self.mode = mode
         self.t = np.float32(0.0)
         self.last_value = np.float32(0.0)
         self.start = np.float32(0.0)
+        # parity-mode stage table state (mirrors _PainterWalk)
+        self._table = None
+        self._table_key = None
+        self._table_pos = 0
+        self._table_t0 = np.float32(0.0)
 
     def new_curve(self) -> None:
         self.start = self.last_value
         self.t = np.float32(0.0)
+        self._table = None
+        self._table_key = None
+        self._table_pos = 0
+        self._table_t0 = np.float32(0.0)
 
     def paint_flat(self, buf: np.ndarray, i: int, value: float) -> int:
         buf[i:] += np.float32(value)
@@ -64,6 +82,8 @@ class Painter:
     def paint_toward(self, buf: np.ndarray, i: int, curve: PaintCurve, goal: float,
                      sample_rate: float):
         """Returns (new_i, finished)."""
+        if self.mode == "parity":
+            return self._paint_toward_parity(buf, i, curve, goal, sample_rate)
         t = ctypes.c_float(float(self.t))
         last = ctypes.c_float(float(self.last_value))
         fin = ctypes.c_int(0)
@@ -76,6 +96,56 @@ class Painter:
         self.t = np.float32(t.value)
         self.last_value = np.float32(last.value)
         return new_i, bool(fin.value)
+
+    def _paint_toward_parity(self, buf, i, curve, goal, sample_rate):
+        # mirror of ops/control.py _PainterWalk.paint_toward + eval_painter
+        from ..ops.control import paint_table
+
+        F = np.float32
+        goal = F(goal)
+        if self.t >= F(1.0):
+            return i, True
+        if curve.kind == "instantaneous":
+            self.t = F(1.0)
+            self.last_value = goal
+            return i, True
+        key = (curve.kind, F(curve.duration).tobytes())
+        if self._table_key != key:
+            # stage (re)parameterized mid-flight: continue from current t
+            self._table_t0 = F(self.t)
+            self._table = paint_table(curve.kind, curve.duration,
+                                      sample_rate, float(self.t))
+            self._table_key = key
+            self._table_pos = 0
+        t_arr, tp_arr, t_step = self._table
+        length = len(t_arr)
+        if self._table_pos >= length:
+            return i, True
+        n = min(length - self._table_pos, len(buf) - i)
+        if n > 0:
+            b = F(goal - self.start)
+            # closed form anchored at the STAGE start (the engine's program
+            # segments span whole stages in the common one-event-per-note
+            # case, so per-block calls here must NOT re-anchor — the drift
+            # of the closed form vs the sequential t is the contract)
+            k = np.arange(self._table_pos + 1, self._table_pos + n + 1,
+                          dtype=np.float32)  # dt + 1 from the stage start
+            t = np.minimum(F(self._table_t0) + k * F(t_step), F(1.0))
+            it = F(1.0) - t
+            if curve.kind == "linear":
+                tp = t
+            elif curve.kind == "squared":
+                tp = F(1.0) - it * it
+            else:  # cubed
+                tp = F(1.0) - it * it * it
+            buf[i:i + n] += self.start + b * tp
+            # walker state updates use the sequential table (ops/control.py:256-259)
+            self.last_value = F(self.start + F(tp_arr[self._table_pos + n - 1] * b))
+            self.t = F(t_arr[self._table_pos + n - 1])
+            self._table_pos += n
+        if self._table_pos >= length:
+            return i + n, True
+        return i + n, False
 
 
 class SineOsc:
@@ -183,7 +253,8 @@ class TriSawOsc:
 
 
 class Envelope:
-    """ADSR envelope (src/modules/Envelope.zig). Both modes identical."""
+    """ADSR envelope (src/modules/Envelope.zig). Modes differ only in the
+    painter value formulation (Painter docstring)."""
 
     num_outputs = 1
     num_temps = 0
@@ -192,7 +263,7 @@ class Envelope:
 
     def __init__(self, mode: str = "exact") -> None:
         self.state = self.IDLE
-        self.painter = Painter()
+        self.painter = Painter(mode)
 
     def _change_state(self, new_state: int) -> None:
         self.state = new_state
@@ -386,7 +457,7 @@ class Portamento:
     num_temps = 0
 
     def __init__(self, mode: str = "exact") -> None:
-        self.painter = Painter()
+        self.painter = Painter(mode)
 
     def paint(self, span, outputs, temps, note_id_changed, params):
         buf = outputs[0][span.start : span.end]

@@ -222,3 +222,64 @@ class TestAotOnDevice:
         assert np.array_equal(a, b)
         c = render_performance(_perf(total), total, chunk_size=2048)
         assert np.array_equal(a, c)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedCache:
+    """Mesh-sharded executables ARE cacheable (graph/aotcache.py
+    cache_usable(sharded=True)): the executable binds to the whole mesh
+    on reload, which is exactly the sharded call's binding. Verified here
+    on the 8-virtual-device CPU mesh: miss -> hit, bit-identical audio."""
+
+    def _sharded_perf(self, total):
+        from zang_tpu.parallel.mesh import pad_timelines
+
+        song = [
+            SongEvent(t=0.01, params={"freq": 220.0 * 2 ** (i / 12.0),
+                                      "note_on": True}, note_id=i + 1)
+            for i in range(4)
+        ] + [
+            SongEvent(t=0.25, params={"freq": 220.0 * 2 ** (i / 12.0),
+                                      "note_on": False}, note_id=i + 1)
+            for i in range(4)
+        ]
+        song.sort(key=lambda e: (e.t, e.note_id))
+        tls = pad_timelines(compile_timelines(song, 4, SR, total), 8)
+        return Performance([(ti.NiceInstrument(0.25), tls)], SR)
+
+    def test_sharded_miss_then_hit_bit_identical(self, tmp_path):
+        from zang_tpu.parallel.mesh import make_mesh, render_performance_sharded
+
+        assert aotcache.cache_usable(sharded=True)
+        mesh = make_mesh(8)
+        total = 4096
+        st1, st2 = [], []
+        a = render_performance_sharded(
+            self._sharded_perf(total), total, mesh, chunk_size=2048,
+            aot_cache=str(tmp_path), _aot_status=st1)
+        assert st1 == ["miss"]
+        assert [f for f in os.listdir(tmp_path) if f.startswith("aot_")]
+        b = render_performance_sharded(
+            self._sharded_perf(total), total, mesh, chunk_size=2048,
+            aot_cache=str(tmp_path), _aot_status=st2)
+        assert st2 == ["hit"]
+        assert np.array_equal(a, b)
+        # and the cached executable's output equals a cold uncached compile
+        c = render_performance_sharded(
+            self._sharded_perf(total), total, mesh, chunk_size=2048)
+        assert np.array_equal(a, c)
+
+    def test_mesh_shape_in_key(self, tmp_path):
+        """A 4-device mesh must not hit a key stored by the 8-device mesh
+        (same arg shapes after padding to 8)."""
+        from zang_tpu.parallel.mesh import make_mesh, render_performance_sharded
+
+        total = 4096
+        st8, st4 = [], []
+        render_performance_sharded(
+            self._sharded_perf(total), total, make_mesh(8), chunk_size=2048,
+            aot_cache=str(tmp_path), _aot_status=st8)
+        render_performance_sharded(
+            self._sharded_perf(total), total, make_mesh(4), chunk_size=2048,
+            aot_cache=str(tmp_path), _aot_status=st4)
+        assert st8 == ["miss"] and st4 == ["miss"]

@@ -165,13 +165,18 @@ class ScriptGen:
         name = f"c{len(self.curves)}"
         k = self.rng.randrange(3, 6)
         ts = sorted(self.rng.uniform(0.0, 1.5) for _ in range(k))
+        ts[0] = 0.0  # anchor at note start: a curve whose span misses the
+        # notes entirely renders silence on both sides (vacuous parity)
         pts = []
         last_t = -1.0
         for t in ts:
             if t - last_t < 1e-3:
                 t = last_t + 1e-3
             last_t = t
-            pts.append(f"    {t:.4f} {self.rng.uniform(-0.9, 0.9):.4f}")
+            # curve literals are unsigned numbers (tokenize.py number
+            # grammar); values bounded away from 0 so a curve-gated term
+            # stays audible
+            pts.append(f"    {t:.4f} {self.rng.uniform(0.1, 0.9):.4f}")
         self.curves.append((name, f"{name} = defcurve\n" + "\n".join(pts) + "\nend"))
         return name
 
@@ -333,17 +338,20 @@ class ScriptGen:
 def _fuzz_song(rng: random.Random):
     from zang_tpu.core.notes import SongEvent
 
-    song = []
+    events = []
     t = 0.05
     nid = 1
     for _ in range(rng.randrange(2, 5)):
         freq = rng.uniform(80.0, 900.0)
         dur = rng.uniform(0.08, 0.4)
-        song.append(SongEvent({"freq": freq, "note_on": True}, t, nid))
-        song.append(SongEvent({"freq": freq, "note_on": False}, t + dur, nid))
+        events.append((t, nid, {"freq": freq, "note_on": True}))
+        events.append((t + dur, nid, {"freq": freq, "note_on": False}))
         nid += 1
         t += rng.uniform(0.1, 0.35)
-    return song
+    # overlapping notes: releases land after the next press — the stream
+    # must still be chronological
+    events.sort(key=lambda e: (e[0], e[1]))
+    return [SongEvent(p, tt, n) for tt, n, p in events]
 
 
 def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):

@@ -126,7 +126,10 @@ class TestPipeModeCLI:
         captured WAV is audible."""
         wav = tmp_path / "pipe.wav"
         with make_server() as srv:
-            monkeypatch.setattr(sys, "stdin", io.StringIO("q\nz\n\n"))
+            # F4 switches to the full-FFT panel mid-stream (the reference's
+            # visualizer screens reachable from pipe mode)
+            monkeypatch.setattr(sys, "stdin",
+                                io.StringIO("q\nF4\nz\nF6\n\n"))
             rc = main(["--host", srv.host, "--port", str(srv.port),
                        "--gate", "0.15", "--wav", str(wav)])
         assert rc == 0
@@ -187,8 +190,121 @@ class TestLiveVisual:
     def test_cycle_visual_order(self):
         stub = TestLiveVisual._stub(None)
         stub._note = lambda *a, **k: None
+        stub._ensure_params = lambda: False
+        stub._panel_height = 0
+        stub.quiet = True
+        stub.set_visual = lambda m: TerminalPlayer.set_visual(stub, m)
         seen = []
-        for _ in range(5):
+        for _ in range(10):
             TerminalPlayer.cycle_visual(stub)
             seen.append(stub.visual_mode)
-        assert seen == ["wave", "spec", "scope", None, "wave"]
+        assert seen == ["wave", "spec", "scope", "help", "main", "oscope",
+                        "fft", "params", None, "wave"]
+
+
+class TestVisualPanels:
+    """The reference's full visualizer screens (F1-F5: help, main,
+    oscilloscope, full FFT, params — visual.zig:943-1231) as multi-line
+    terminal panels."""
+
+    @staticmethod
+    def _stub(mode, specs=None, values=None):
+        from types import SimpleNamespace
+
+        stub = SimpleNamespace(
+            visual_mode=mode,
+            quiet=True,
+            _full_scale=32767.0,
+            _panel_height=0,
+            recording_file=None,
+            level=0.5,
+            blocks_received=7,
+            param_specs=specs,
+            param_values=values,
+            param_sel=1 if specs else 0,
+            client=SimpleNamespace(welcome={"sample_rate": 48000.0}),
+            _spark=TerminalPlayer._spark,
+            _raster=TerminalPlayer._raster,
+            _raster_bipolar=TerminalPlayer._raster_bipolar,
+            _VISUAL_MODES=TerminalPlayer._VISUAL_MODES,
+            _PANEL_MODES=TerminalPlayer._PANEL_MODES,
+            PANEL_WIDTH=TerminalPlayer.PANEL_WIDTH,
+            PANEL_ROWS=TerminalPlayer.PANEL_ROWS,
+        )
+        stub._sync_freq = lambda x, sr: TerminalPlayer._sync_freq(stub, x, sr)
+        stub._status_line = lambda: TerminalPlayer._status_line(stub)
+        return stub
+
+    @staticmethod
+    def _sine_block():
+        # near-full-scale so the raster's top row lights
+        t = np.arange(4096, dtype=np.float32) / 48000.0
+        return (np.sin(2 * np.pi * 440.0 * t) * 32000).astype(np.int16)[None, :]
+
+    def test_raster_fills_bottom_up(self):
+        lines = TerminalPlayer._raster(np.array([0.0, 0.5, 1.0]), 4)
+        assert len(lines) == 4
+        assert lines[0][0] == " " and lines[-1][0] == " "  # zero column dark
+        assert lines[0][2] == "█" and lines[-1][2] == "█"  # full column lit
+        assert lines[-1][1] == "█" and lines[0][1] == " "  # half: bottom only
+
+    def test_panels_render(self):
+        block = self._sine_block()
+        for mode in ("main", "oscope", "fft"):
+            stub = self._stub(mode)
+            lines = TerminalPlayer.render_panel(stub, block)
+            assert len(lines) >= 4, mode
+            assert any("█" in ln or "▇" in ln for ln in lines), mode
+            assert "level" in lines[-1]
+
+    def test_oscope_is_synced(self):
+        # a 440 Hz sine across a 4096-sample block shows ~one cycle when
+        # synced: the bipolar raster's top row lights near the first
+        # quarter, not periodically across the width
+        stub = self._stub("oscope")
+        lines = TerminalPlayer.render_panel(stub, self._sine_block())
+        top = lines[1]
+        lit = [i for i, c in enumerate(top) if c != " "]
+        assert lit, top
+        span = max(lit) - min(lit)
+        assert span < TerminalPlayer.PANEL_WIDTH // 2, (span, top)
+
+    def test_help_and_params_panels(self):
+        stub = self._stub("help")
+        lines = TerminalPlayer.render_panel(stub, self._sine_block())
+        assert any("F4" in ln for ln in lines)
+        specs = [{"name": "a", "desc": "alpha", "num_values": 10},
+                 {"name": "b", "desc": "beta", "num_values": 4}]
+        stub = self._stub("params", specs=specs, values={"a": 3, "b": 1})
+        lines = TerminalPlayer.render_panel(stub, self._sine_block())
+        assert any(ln.startswith("> beta") for ln in lines), lines
+        assert any("alpha" in ln and "(0..9)" in ln for ln in lines)
+
+    def test_set_visual_toggles_off(self):
+        stub = self._stub("fft")
+        stub._note = lambda *a, **k: None
+        stub._ensure_params = lambda: False
+        TerminalPlayer.set_visual(stub, "fft")
+        assert stub.visual_mode is None
+        TerminalPlayer.set_visual(stub, "main")
+        assert stub.visual_mode == "main"
+
+    def test_print_panel_redraws_in_place(self):
+        import contextlib
+        import io as _io
+
+        stub = self._stub("fft")
+        stub.render_panel = lambda b: TerminalPlayer.render_panel(stub, b)
+        err = _io.StringIO()
+        with contextlib.redirect_stderr(err):
+            TerminalPlayer._print_panel(stub, self._sine_block())
+            first = err.getvalue()
+            h1 = stub._panel_height
+            TerminalPlayer._print_panel(stub, self._sine_block())
+        second = err.getvalue()[len(first):]
+        assert h1 > 0 and "\x1b[K" in first
+        # first draw writes lines in place; the redraw starts by moving the
+        # cursor back up over the previous panel
+        assert not first.startswith("\x1b[%dA" % h1)
+        assert second.startswith("\x1b[%dA" % h1)
+

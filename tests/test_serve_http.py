@@ -247,3 +247,103 @@ class TestMidiEndpoint:
             menu = json.loads(r.read())
         assert "/v1/render/midi" in menu["endpoints"]
         assert "nice" in menu["midi_instruments"]
+
+
+class TestStreamEndpoint:
+    """GET /v1/render/stream: fixed-length WAV written incrementally."""
+
+    def test_stream_sampler(self, srv):
+        with _get(srv, "/v1/render/stream?config=sampler&seconds=2") as r:
+            clen = int(r.headers["Content-Length"])
+            data = r.read()
+        assert len(data) == clen
+        sr, ch, pcm = _parse_wav(data)
+        assert sr == 44100 and ch == 1
+        assert len(pcm) == int(2 * 44100)
+        assert np.abs(pcm).max() > 100
+
+    def test_stream_matches_offline_render(self, srv):
+        """The streamed bytes must equal the buffered render of the same
+        config (chunk-carried state, no seams)."""
+        from zang_tpu.core.mixdown import mixdown_s16_np
+        from zang_tpu.graph.render import render_performance
+        from zang_tpu.host.configs import build_sampler_performance
+
+        with _get(srv, "/v1/render/stream?config=sampler&seconds=1") as r:
+            data = r.read()
+        _sr, _ch, pcm = _parse_wav(data)
+        perf, total = build_sampler_performance(seconds=1.0)
+        ref = mixdown_s16_np(
+            np.asarray(render_performance(perf, total, chunk_size=65536)),
+            0.25).reshape(-1)
+        assert np.array_equal(pcm, ref)
+
+    def test_stream_unknown_config_404(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/render/stream?config=nope", timeout=10.0)
+        assert ei.value.code == 404
+
+    def test_stream_seconds_over_cap_400(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/render/stream?config=sampler&seconds=100000",
+                 timeout=10.0)
+        assert ei.value.code == 400
+
+
+class TestBatchEndpoint:
+    """POST /v1/render/batch: tier-3 BatchRenderer over HTTP."""
+
+    def test_batch_mixed_jobs(self, srv):
+        body = {"jobs": [
+            {"name": "drum", "config": "sampler", "seconds": 1.0},
+            {"name": "synth", "script": TEST_SCRIPT, "seconds": 1.5,
+             "notes": [[0.1, 0.5, 440.0]]},
+        ], "volume": 0.3}
+        with _post(srv, "/v1/render/batch", body) as r:
+            resp = json.loads(r.read())
+        results = {r_["name"]: r_ for r_ in resp["results"]}
+        assert set(results) == {"drum", "synth"}
+        for name, r_ in results.items():
+            assert r_["status"] == "ok", r_
+            assert r_["url"].startswith("/v1/result/")
+        # fetch both WAVs back from the result store
+        with _get(srv, results["drum"]["url"], timeout=30.0) as r:
+            sr, ch, pcm = _parse_wav(r.read())
+        assert sr == 44100 and len(pcm) == 44100
+        assert np.abs(pcm).max() > 100
+        with _get(srv, results["synth"]["url"], timeout=30.0) as r:
+            sr, ch, pcm = _parse_wav(r.read())
+        assert len(pcm) == int(1.5 * 44100)
+        assert np.abs(pcm).max() > 100
+
+    def test_batch_per_job_failure_status(self, srv):
+        # a compile failure inside a job is reported per-job, not as an
+        # HTTP error: the batch itself succeeded
+        body = {"jobs": [
+            {"name": "bad", "script": "Bad = defmodule begin out nope end"},
+            {"name": "good", "config": "sampler", "seconds": 0.5},
+        ]}
+        with _post(srv, "/v1/render/batch", body) as r:
+            resp = json.loads(r.read())
+        results = {r_["name"]: r_ for r_ in resp["results"]}
+        assert results["good"]["status"] == "ok"
+        assert results["bad"]["status"] == "failed"
+        assert results["bad"]["error"]
+
+    def test_batch_bounds(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/batch", {"jobs": []}, timeout=10.0)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/batch",
+                  {"jobs": [{"config": "sampler"}] * 99}, timeout=10.0)
+        assert ei.value.code == 413
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/v1/render/batch",
+                  {"jobs": [{"what": 1}]}, timeout=10.0)
+        assert ei.value.code == 400
+
+    def test_result_miss_404(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/v1/result/deadbeef", timeout=10.0)
+        assert ei.value.code == 404

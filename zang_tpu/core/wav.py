@@ -48,6 +48,19 @@ def encode_wav_s16(samples: np.ndarray, sample_rate: int,
     return _encode(samples.tobytes(), sample_rate, num_channels, 16)
 
 
+def wav_header_s16(sample_rate: int, num_channels: int,
+                   total_frames: int) -> bytes:
+    """The 44-byte RIFF header for an int16 WAV whose data will follow
+    incrementally (streamed responses: length known, bytes not yet
+    rendered)."""
+    data_len = total_frames * num_channels * 2
+    full = _encode(b"", sample_rate, num_channels, 16)
+    head = bytearray(full)
+    struct.pack_into("<I", head, 4, 36 + data_len)
+    struct.pack_into("<I", head, 40, data_len)
+    return bytes(head)
+
+
 def _encode(data: bytes, sample_rate: int, num_channels: int, bits: int) -> bytes:
     byte_rate = sample_rate * num_channels * bits // 8
     block_align = num_channels * bits // 8

@@ -198,22 +198,51 @@ def default_cache_dir() -> Optional[str]:
     return d or None
 
 
-def cache_usable() -> bool:
-    """The disk cache serves the single-accelerator serving/render paths.
-    XLA:CPU AOT reloads are rejected by a strict machine-feature check
-    (and the test suite's 8-virtual-device CPU config binds deserialized
-    executables to all 8 devices, breaking unsharded calls) — so CPU
-    always compiles. Multi-device topologies would need sharding-aware
-    reload commitment; out of scope until a real multi-chip pod exists."""
+def cache_usable(sharded: bool = False) -> bool:
+    """Whether the disk cache may serve this process's topology.
+
+    Unsharded (default): single non-CPU accelerator only. XLA:CPU AOT
+    loads log machine-feature mismatches, and the test suite's
+    8-virtual-device CPU config binds deserialized executables to all 8
+    devices — an unsharded call would then be mis-bound.
+
+    sharded=True: the executable was compiled against explicit mesh
+    shardings, so multi-device binding is exactly right; any backend
+    qualifies (CPU included — the reload executes correctly, verified on
+    the 8-virtual-device mesh; the loader's feature warnings are benign
+    same-machine). The cache key carries a host fingerprint so a copied
+    cache directory from a different machine misses instead of risking
+    SIGILL."""
     try:
+        if sharded:
+            return len(jax.devices()) >= 1
         return jax.default_backend() != "cpu" and len(jax.devices()) == 1
     except Exception:  # noqa: BLE001 — backend init failure = no cache
         return False
 
 
+def _host_fingerprint() -> str:
+    """CPU model identity: XLA:CPU AOT code is machine-feature-specific."""
+    import platform
+
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return f"{platform.machine()}:{model}"
+
+
 def _device_fingerprint() -> str:
     devs = jax.devices()
-    return f"{jax.default_backend()}:{devs[0].device_kind}x{len(devs)}"
+    fp = f"{jax.default_backend()}:{devs[0].device_kind}x{len(devs)}"
+    if jax.default_backend() == "cpu":
+        fp += ":" + _host_fingerprint()
+    return fp
 
 
 def _abstract_sig(args) -> str:
@@ -291,20 +320,32 @@ class AotDispatch:
 
 
 def aot_compile(fn, args, tag: str,
-                cache_dir: Optional[str] = None) -> Tuple[object, str]:
+                cache_dir: Optional[str] = None,
+                out_shardings=None) -> Tuple[object, str]:
     """Compiled executable for fn at args' exact signature.
 
     Returns (compiled, status) with status in {"hit", "miss", "off"}.
     The executable is called with the same pytree args as fn. With no
     cache_dir (and no ZANG_AOT_CACHE), compiles without touching disk.
-    """
+
+    out_shardings marks a mesh-sharded compile (parallel/mesh.py): the
+    input shardings are inferred from the committed args, the executable
+    binds to every mesh device on reload, and the caller's tag must
+    describe the mesh (axes + shape) since arg shapes alone don't."""
+    sharded = out_shardings is not None
+
+    def compile_now():
+        jitted = (jax.jit(fn, out_shardings=out_shardings) if sharded
+                  else jax.jit(fn))
+        return jitted.lower(*args).compile()
+
     cache_dir = cache_dir or default_cache_dir()
-    if cache_dir is None or not cache_usable():
-        return jax.jit(fn).lower(*args).compile(), "off"
+    if cache_dir is None or not cache_usable(sharded=sharded):
+        return compile_now(), "off"
     key = cache_key(tag, args)
     compiled = load(cache_dir, key)
     if compiled is not None:
         return compiled, "hit"
-    compiled = jax.jit(fn).lower(*args).compile()
+    compiled = compile_now()
     store(cache_dir, key, compiled)
     return compiled, "miss"

@@ -187,6 +187,40 @@ def make_render_fn(perf: Performance, total_frames: int, chunk_size: int = 65536
     return run, (perf.init_state(), starts, xs)
 
 
+def stream_performance(
+    perf: Performance,
+    total_frames: int,
+    chunk_size: int = 65536,
+    jit: bool = True,
+):
+    """Incremental render: yields f32 [C, <=chunk_size] blocks in order.
+
+    Same per-chunk computation as make_render_fn (state carried across
+    chunks, one jitted step reused), but each chunk is fetched and yielded
+    as soon as it is rendered — the HTTP tier streams long WAVs from this
+    instead of buffering the whole piece (serve/http.py /v1/render/stream).
+    """
+    import numpy as np
+
+    xs_np, n_chunks = perf.chunk_xs(total_frames, chunk_size)
+
+    def step(state, c0, xs_chunk):
+        ctx = RenderCtx(
+            sample_rate=perf.sample_rate,
+            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
+            n=chunk_size,
+        )
+        return perf.render_chunk(state, xs_chunk, ctx)
+
+    fn = jax.jit(step) if jit else step
+    state = perf.init_state()
+    for i in range(n_chunks):
+        xs_chunk = jax.tree_util.tree_map(lambda a, i=i: a[i], xs_np)
+        state, out = fn(state, jnp.int32(i * chunk_size), xs_chunk)
+        n = min(chunk_size, total_frames - i * chunk_size)
+        yield np.asarray(out)[:, :n]
+
+
 def render_performance(
     perf: Performance,
     total_frames: int,

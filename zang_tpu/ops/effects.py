@@ -47,19 +47,44 @@ def decimator(
     x: Array,
     fake_sample_rate: Union[Array, float],
     sample_rate: float,
+    active: Optional[Array] = None,
+    ratio: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Sample-and-hold rate reduction over x [..., n].
 
     cnt0: u32 accumulator state [...] (init 0xFFFFFFFF so the first sample
     triggers, matching dcount=1.0 — Decimator.zig:17); dval0: held value.
     fake >= sr passes through and resets state; fake <= 0 holds forever.
+    active: samples where the module is painted — elsewhere the counter
+    freezes and the output is zero (the reference host never calls paint
+    outside note spans, so an always-running counter would latch on a
+    different grid; caught by the differential script fuzz).
+    ratio: optional precomputed f32 fake/sr. XLA's f32 division is NOT
+    correctly rounded (reciprocal-based, 1 ulp off for e.g. 1858/44100),
+    which shifts the u32 latch grid off the oracle's — callers with
+    plan-time-known fake must divide on the HOST. A python-float fake is
+    divided host-side here automatically; only a traced fake without a
+    ratio falls back to device division.
     Returns (cnt_end, dval_end, out).
     """
+    import numpy as np
+
     fake = jnp.asarray(fake_sample_rate, jnp.float32)
     sr = jnp.float32(sample_rate)
-    ratio = fake / sr
+    if ratio is None:
+        if isinstance(fake_sample_rate, (int, float)):
+            ratio = jnp.float32(
+                np.float32(np.float32(fake_sample_rate)
+                           / np.float32(sample_rate)))
+        else:
+            ratio = fake / sr
+    ratio = jnp.asarray(ratio, jnp.float32)
+    # *2^32 is a pure exponent shift (exact); the only rounding is in the
+    # division above
     icount = (ratio * jnp.float32(4294967296.0)).astype(jnp.uint32)
     icount_b = jnp.broadcast_to(icount, x.shape)
+    if active is not None:
+        icount_b = jnp.where(active, icount_b, jnp.uint32(0))
     cnt = cnt0[..., None] + exclusive_cumsum_u32(icount_b) + icount_b
     trig = cnt < icount_b  # u32 wrap happened on this sample
     # latch: v_i = trig ? x_i : v_{i-1}
@@ -70,6 +95,8 @@ def decimator(
     passthrough = fake >= sr
     silent = fake <= jnp.float32(0.0)  # neither branch taken: untouched
     out = jnp.where(passthrough, x, jnp.where(silent, jnp.float32(0.0), held))
+    if active is not None:
+        out = jnp.where(active, out, jnp.float32(0.0))
     # fake may be per-sample (the DSL resolves even constant params to
     # per-sample tables); the carry takes the regime at the chunk's last
     # sample. (A fake crossing sr strictly inside one chunk would reset

@@ -245,19 +245,12 @@ def trisaw_wave(cnt: Array, ifreq: Array, color: Union[Array, float],
     return out
 
 
-def trisaw_naive(
-    cnt0: Array,
-    freq: Array,
-    color: Union[Array, float],
-    sample_rate: float,
-    active: Optional[Array] = None,
-) -> Tuple[Array, Array]:
-    """Naive tri/saw on a u32 phase — parity twin of the reference's
-    controlled-frequency fallback (TriSawOsc.zig:120-156)."""
-    ifreq = freq_to_ifreq(jnp.asarray(freq, jnp.float32), sample_rate)
-    if active is not None:
-        ifreq = jnp.where(active, ifreq, jnp.uint32(0))
-    cnt, cnt_end = _advance(cnt0, ifreq)
+def trisaw_naive_wave(cnt: Array, color: Union[Array, float],
+                      active: Optional[Array] = None) -> Array:
+    """Naive tri/saw values from u32 phase counters (TriSawOsc.zig:137-151):
+    saw when color < 0.25 or > 0.75, fixed triangle otherwise (the
+    reference's controlled path implements color crudely — its TODO at
+    TriSawOsc.zig:127)."""
     t = utof23(cnt)
     color_f = jnp.asarray(color, jnp.float32)
     saw = t * jnp.float32(2.0) - jnp.float32(1.0)
@@ -274,7 +267,23 @@ def trisaw_naive(
     out = GAIN * frac
     if active is not None:
         out = jnp.where(active, out, jnp.float32(0.0))
-    return cnt_end, out
+    return out
+
+
+def trisaw_naive(
+    cnt0: Array,
+    freq: Array,
+    color: Union[Array, float],
+    sample_rate: float,
+    active: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Naive tri/saw on a u32 phase — parity twin of the reference's
+    controlled-frequency fallback (TriSawOsc.zig:120-156)."""
+    ifreq = freq_to_ifreq(jnp.asarray(freq, jnp.float32), sample_rate)
+    if active is not None:
+        ifreq = jnp.where(active, ifreq, jnp.uint32(0))
+    cnt, cnt_end = _advance(cnt0, ifreq)
+    return cnt_end, trisaw_naive_wave(cnt, color, active)
 
 
 def cycle(

@@ -65,11 +65,19 @@ def render_performance_sharded(
     mesh: Mesh,
     chunk_size: int = 65536,
     axis: str = "voices",
+    aot_cache: Optional[str] = None,
+    _aot_status: Optional[list] = None,
 ) -> np.ndarray:
     """Render with per-part voice axes sharded across the mesh.
 
     Each part's voice count must be a multiple of the mesh size (use
     pad_timelines when building the Performance). Returns f32 [C, total].
+
+    aot_cache (or ZANG_AOT_CACHE) persists the mesh-sharded executable to
+    disk: a warm entry skips tracing+lowering+compiling, the multi-chip
+    analog of render_performance's cache (graph/aotcache.py — the key
+    carries the mesh axes/shape on top of the instrument tag).
+    _aot_status, if a list, receives the cache status ("hit"/"miss"/"off").
     """
     run, (state0, starts, xs) = make_render_fn(perf, total_frames, chunk_size)
 
@@ -106,7 +114,24 @@ def render_performance_sharded(
     starts = jax.device_put(starts, NamedSharding(mesh, P()))
 
     out_sharding = NamedSharding(mesh, P())  # mixed audio replicated
-    fn = jax.jit(run, out_shardings=out_sharding)
+    from ..graph import aotcache
+
+    cache_dir = aot_cache or aotcache.default_cache_dir()
+    args = (state0, starts, xs)
     with mesh:
-        audio = fn(state0, starts, xs)
+        if cache_dir:
+            try:
+                tag = ("mesh:" + aotcache.performance_tag(perf, chunk_size)
+                       + f":{mesh.axis_names}{tuple(mesh.devices.shape)}"
+                       + f":{axis}")
+            except aotcache.Uncacheable:
+                fn, status = jax.jit(run, out_shardings=out_sharding), "off"
+            else:
+                fn, status = aotcache.aot_compile(
+                    run, args, tag, cache_dir, out_shardings=out_sharding)
+        else:
+            fn, status = jax.jit(run, out_shardings=out_sharding), "off"
+        if _aot_status is not None:
+            _aot_status.append(status)
+        audio = fn(*args)
     return np.asarray(audio[:, :total_frames])

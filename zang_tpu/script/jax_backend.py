@@ -268,7 +268,11 @@ class ScriptInstrument:
 
     def render(self, state, prog, ctx):
         r = _Renderer(state, prog, ctx)
-        out = r.run(self._ir)
+        # mask by the voice's active window: before a subvoice's first
+        # impulse the reference host never paints the module at all, so
+        # literal constants in the out expression must not leak into the
+        # mix (module outputs are already gated; bare arithmetic is not)
+        out = jnp.where(r.active, r.run(self._ir), jnp.float32(0.0))
         return r.state, out
 
 
@@ -647,7 +651,11 @@ class _InlineEnv:
                 entry["mode"] = "seg"
             else:
                 entry["mode"] = "cumsum"
-                entry["guard"] = guard
+                # buffer-frequency TriSawOsc is the reference's naive
+                # controlled path, which has NO bad-frequency guard
+                # (TriSawOsc.zig:127-131 TODO); PulseOsc's controlled loop
+                # skips out-of-range samples (PulseOsc.zig:134-135)
+                entry["guard"] = name == "PulseOsc"
                 entry["freq"] = self.buf_ref(freq)
                 self.p.state_specs[site] = ("phase",)
             self.ops.append(entry)
@@ -718,10 +726,21 @@ class _InlineEnv:
             return
         if name == "Decimator":
             self.p.state_specs[site] = ("decimator",)
+            fake_val = named["fake_sample_rate"]
+            # fake/sr divided HOST-side: XLA f32 division is 1 ulp off for
+            # some rates, which would shift the u32 latch grid (see
+            # ops/effects.decimator ratio doc)
+            ratio_val = Val(
+                "float",
+                arr=np.asarray(fake_val.arr, np.float32)
+                / np.float32(self.p.sr),
+                scale=fake_val.scale)
             self.ops.append({
                 "op": "decimator", "dest": dest, "site": site,
                 "input": self.buf_ref(named["input"]),
-                "fake": self.float_col(named["fake_sample_rate"]),
+                "fake": self.float_col(fake_val),
+                "ratio": self.float_col(ratio_val),
+                "ambient": self.scale_name,
             })
             return
         if name == "Distortion":
@@ -1070,7 +1089,9 @@ class _Renderer:
             x = self.full(self.resolve(e["input"]))
             fake = self.resolve(e["fake"])
             cnt, val, out = effects.decimator(
-                st["cnt"], st["val"], x, fake, ctx.sample_rate)
+                st["cnt"], st["val"], x, fake, ctx.sample_rate,
+                active=self.ambient_mask(e["ambient"]),
+                ratio=self.full(self.resolve(e["ratio"])))
             self.state[e["site"]] = {"cnt": cnt, "val": val}
             self.write(e["dest"], out)
             return
@@ -1141,7 +1162,19 @@ class _Renderer:
         elif kind == "PulseOsc":
             out = oscillators.pulse_wave(cnt, ifreq, self.resolve(e["color"]), valid)
         elif kind == "TriSawOsc":
-            out = oscillators.trisaw_wave(cnt, ifreq, self.resolve(e["color"]), valid)
+            if e["mode"] == "seg":
+                # constant frequency: the antialiased farbrausch waveform
+                # (TriSawOsc.zig:77-118)
+                out = oscillators.trisaw_wave(cnt, ifreq,
+                                              self.resolve(e["color"]), valid)
+            else:
+                # buffer frequency: scripts reach TriSawOsc only through
+                # cob_to_buffer (codegen.zig:879-884), so the reference
+                # always runs the naive controlled path here
+                # (TriSawOsc.zig:120-156)
+                out = oscillators.trisaw_naive_wave(cnt,
+                                                    self.resolve(e["color"]),
+                                                    valid)
         else:  # Cycle
             out = jnp.where(valid, utof23(cnt), 0.0)
         self.write(e["dest"], out)

@@ -27,6 +27,21 @@ family as the TCP live tier (serve/server.py) but request/response:
          "params": {name: value}}          extra note params (enum labels,
                                            booleans, floats) for exported
                                            params beyond freq/note_on
+  GET  /v1/render/stream?config=song&seconds=385
+        audio/wav streamed incrementally (fixed Content-Length, body
+        written chunk by chunk as the piece renders — curl plays the
+        full 385 s Bach render without the server buffering it).
+        config: song | sampler | poly_echo; own budget max_stream_seconds
+  POST /v1/render/batch                    JSON statuses; body:
+        {"jobs": [{"name": str,            job label (default job_N)
+                   "config": str,          song|sampler|poly_echo ...
+                   "script": str, ...}],   ... OR a /v1/render/script body
+         "volume": float}
+        Jobs run through the tier-3 BatchRenderer (serve/batch.py —
+        same-structure songs share one compiled graph); each result
+        carries a "url" to fetch the WAV from the response cache.
+  GET  /v1/result/<id>                     audio/wav from a batch job
+        (LRU-cached; 404 after eviction — re-POST the batch)
   GET  /v1/stats                           JSON serving counters
 
 Script compile failures return HTTP 400 with the compiler's caret
@@ -158,6 +173,61 @@ def _render_midi(body: dict, volume: float):
     return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
 
 
+def _build_config(name: str, seconds: float):
+    """(Performance, total) builder for the offline render configs —
+    the write_wav.zig pieces (host/render_wav.py), used by the stream
+    and batch endpoints."""
+    if name == "song":
+        from ..host import song as sm
+
+        total = int(seconds * sm.SAMPLE_RATE)
+        return sm.build_performance(total), total
+    if name == "sampler":
+        from ..host.configs import build_sampler_performance
+
+        return build_sampler_performance(seconds=seconds)
+    if name == "poly_echo":
+        from ..host.configs import build_poly_echo_performance
+
+        return build_poly_echo_performance(seconds=seconds)
+    raise _BadRequest(
+        404, f"unknown config {name!r}: song | sampler | poly_echo")
+
+
+def _build_script_job(body: dict):
+    """(Performance, total) for a validated /v1/render/script-style job."""
+    from ..core.notes import SongEvent
+    from ..core.timeline import compile_timelines
+    from ..graph.render import Performance
+    from ..script import compile_script
+    from ..script.jax_backend import ScriptInstrument
+
+    sr = float(body.get("sample_rate", 44100.0))
+    seconds = float(body["seconds"])
+    polyphony = int(body.get("polyphony", 2))
+    notes = body.get("notes", DEFAULT_NOTES)
+    extra = {k: (tuple(v) if isinstance(v, list) else v)
+             for k, v in dict(body.get("params", {})).items()}
+    cs = compile_script(body["script"])
+    module = body.get("module")
+    if module is None:
+        if not cs.exported_modules:
+            raise _BadRequest(400, "script exports no modules")
+        module = cs.exported_modules[-1].name
+    inst = ScriptInstrument(cs, str(module))
+    song = []
+    for i, note in enumerate(notes):
+        t_on, dur, freq = (float(x) for x in note)
+        song.append(SongEvent({"freq": np.float32(freq), "note_on": True,
+                               **extra}, t=t_on, note_id=i + 1))
+        song.append(SongEvent({"freq": np.float32(freq), "note_on": False,
+                               **extra}, t=t_on + dur, note_id=i + 1))
+    song.sort(key=lambda e: (e.t, e.note_id))
+    total = int(seconds * sr)
+    tls = compile_timelines(song, polyphony, sr, total)
+    return Performance([(inst, tls)], sr), total
+
+
 class RenderHTTPServer:
     """One-port HTTP render service over the example registry + the
     zangscript compiler. See module docstring for the endpoint table."""
@@ -173,11 +243,15 @@ class RenderHTTPServer:
         max_concurrent_renders: int = 2,
         cache_entries: int = 32,
         cache_bytes: int = 256 << 20,
+        max_stream_seconds: float = 400.0,
+        max_batch_jobs: int = 16,
     ) -> None:
         self.max_seconds = float(max_seconds)
         self.max_script_bytes = int(max_script_bytes)
         self.max_polyphony = int(max_polyphony)
         self.max_notes = int(max_notes)
+        self.max_stream_seconds = float(max_stream_seconds)
+        self.max_batch_jobs = int(max_batch_jobs)
         self._render_sem = threading.Semaphore(max(1, max_concurrent_renders))
         self._cache_entries = int(cache_entries)
         self._cache_bytes = int(cache_bytes)
@@ -238,10 +312,16 @@ class RenderHTTPServer:
                 self._send_json(h, 200, self.stats())
             elif method == "GET" and url.path == "/v1/render":
                 self._handle_example(h, parse_qs(url.query))
+            elif method == "GET" and url.path == "/v1/render/stream":
+                self._handle_stream(h, parse_qs(url.query))
+            elif method == "GET" and url.path.startswith("/v1/result/"):
+                self._handle_result(h, url.path[len("/v1/result/"):])
             elif method == "POST" and url.path == "/v1/render/script":
                 self._handle_script(h)
             elif method == "POST" and url.path == "/v1/render/midi":
                 self._handle_midi(h)
+            elif method == "POST" and url.path == "/v1/render/batch":
+                self._handle_batch(h)
             else:
                 raise _BadRequest(404, f"no such endpoint: {method} {url.path}")
         except _BadRequest as e:
@@ -260,8 +340,12 @@ class RenderHTTPServer:
         return {
             "examples": sorted(EXAMPLES),
             "max_seconds": self.max_seconds,
-            "endpoints": ["/v1/examples", "/v1/render", "/v1/render/midi",
-                          "/v1/render/script", "/v1/stats"],
+            "endpoints": ["/v1/examples", "/v1/render", "/v1/render/batch",
+                          "/v1/render/midi", "/v1/render/script",
+                          "/v1/render/stream", "/v1/result/<id>",
+                          "/v1/stats"],
+            "stream_configs": ["song", "sampler", "poly_echo"],
+            "max_stream_seconds": self.max_stream_seconds,
             "midi_instruments": sorted(stock_names()),
         }
 
@@ -302,28 +386,7 @@ class RenderHTTPServer:
         from ..script.errors import ScriptError
 
         body = self._read_json_body(h)
-        if not isinstance(body.get("script"), str):
-            raise _BadRequest(400, 'body must be {"script": "<zangscript>", ...}')
-        if len(body["script"].encode()) > self.max_script_bytes:
-            raise _BadRequest(413, "script too large")
-        body["seconds"] = self._seconds(body.get("seconds")) or 4.0
-        poly = int(body.get("polyphony", 2))
-        if not 1 <= poly <= self.max_polyphony:
-            raise _BadRequest(400, f"polyphony must be in 1..{self.max_polyphony}")
-        try:
-            sr = float(body.get("sample_rate", 44100.0))
-        except (TypeError, ValueError):
-            raise _BadRequest(400, "sample_rate must be a number")
-        if not 1.0 <= sr <= 192000.0:
-            raise _BadRequest(400, "sample_rate must be in [1, 192000]")
-        notes = body.get("notes", DEFAULT_NOTES)
-        if not isinstance(notes, (list, tuple)) or len(notes) > self.max_notes:
-            raise _BadRequest(400, f"notes must be a list of <= {self.max_notes}")
-        for note in notes:
-            if (not isinstance(note, (list, tuple)) or len(note) != 3
-                    or not all(isinstance(x, (int, float)) for x in note)):
-                raise _BadRequest(
-                    400, "each note must be [t_on, duration, freq] numbers")
+        self._validate_script_body(body)
         volume = self._volume(body.get("volume"))
         key = "script:" + hashlib.sha256(json.dumps(
             {k: body.get(k) for k in ("script", "module", "seconds",
@@ -376,6 +439,182 @@ class RenderHTTPServer:
             wav = self._render_cached(key, lambda: _render_midi(body, volume))
         except MidiError as e:
             raise _BadRequest(400, str(e))
+        self._send_wav(h, wav)
+
+    def _handle_stream(self, h, q: dict) -> None:
+        """Streamed long render: the WAV's exact byte length is known up
+        front (fixed total frames), so the response carries a normal
+        Content-Length while the body is written chunk by chunk as the
+        piece renders — a curl of the 385 s Bach render starts playing
+        within the first chunk instead of after the full render."""
+        from ..core.mixdown import mixdown_s16_np
+        from ..core.wav import wav_header_s16
+        from ..graph.render import stream_performance
+
+        name = q.get("config", [None])[0]
+        if not name:
+            raise _BadRequest(400, "missing ?config=<song|sampler|poly_echo>")
+        raw = q.get("seconds", [None])[0]
+        try:
+            seconds = float(raw) if raw is not None else self.max_stream_seconds
+        except (TypeError, ValueError):
+            raise _BadRequest(400, "seconds must be a number")
+        if not 0.0 < seconds <= self.max_stream_seconds:
+            raise _BadRequest(
+                400, f"seconds must be in (0, {self.max_stream_seconds}]")
+        volume = self._volume(q.get("volume", [None])[0])
+        with self._render_sem:
+            perf, total = _build_config(name, seconds)
+            channels = perf.num_channels
+            sr = int(perf.sample_rate)
+            data_bytes = total * channels * 2
+            h.send_response(200)
+            h.send_header("Content-Type", "audio/wav")
+            h.send_header("Content-Length", str(44 + data_bytes))
+            h.end_headers()
+            h.wfile.write(wav_header_s16(sr, channels, total))
+            sent = 0
+            try:
+                for block in stream_performance(perf, total,
+                                                chunk_size=65536):
+                    pcm = mixdown_s16_np(block, volume)
+                    # WAV interleaves channels per frame
+                    h.wfile.write(
+                        np.ascontiguousarray(pcm.T).tobytes())
+                    h.wfile.flush()
+                    sent += block.shape[1]
+            except (BrokenPipeError, ConnectionResetError):
+                h.close_connection = True
+                return  # client hung up: stop rendering
+        with self._lock:
+            self.stats_counts["renders"] += 1
+            self._audio_seconds += sent / float(sr)
+
+    def _handle_batch(self, h) -> None:
+        """Tier-3 over HTTP: run N jobs through the BatchRenderer (shared
+        compiled graphs for same-structure songs), answer per-job statuses
+        with result URLs into the response cache."""
+        import tempfile
+
+        from ..script.errors import ScriptError
+        from .batch import BatchRenderer, RenderJob
+
+        body = self._read_json_body(h)
+        jobs_in = body.get("jobs")
+        if not isinstance(jobs_in, list) or not jobs_in:
+            raise _BadRequest(400, 'body must be {"jobs": [...]}')
+        if len(jobs_in) > self.max_batch_jobs:
+            raise _BadRequest(413, f"at most {self.max_batch_jobs} jobs")
+        volume = self._volume(body.get("volume"))
+        jobs = []
+        for i, job in enumerate(jobs_in):
+            if not isinstance(job, dict):
+                raise _BadRequest(400, f"job {i} must be an object")
+            name = str(job.get("name") or f"job_{i:02d}")
+            if "config" in job:
+                raw = job.get("seconds")
+                try:
+                    seconds = (float(raw) if raw is not None
+                               else self.max_seconds)
+                except (TypeError, ValueError):
+                    raise _BadRequest(400, f"job {i}: seconds must be a number")
+                if not 0.0 < seconds <= self.max_stream_seconds:
+                    raise _BadRequest(
+                        400, f"job {i}: seconds must be in "
+                             f"(0, {self.max_stream_seconds}]")
+                cfg = str(job["config"])
+                if cfg not in ("song", "sampler", "poly_echo"):
+                    raise _BadRequest(
+                        400, f"job {i}: unknown config {cfg!r}")
+                jobs.append(RenderJob(
+                    name=name,
+                    build=(lambda c=cfg, s=seconds: _build_config(c, s)),
+                    volume=volume))
+            elif "script" in job:
+                jb = dict(job)
+                self._validate_script_body(jb, job_label=f"job {i}: ")
+                jobs.append(RenderJob(
+                    name=name,
+                    build=(lambda b=jb: _build_script_job(b)),
+                    volume=volume))
+            else:
+                raise _BadRequest(
+                    400, f"job {i} needs a \"config\" or \"script\" field")
+        with self._render_sem, tempfile.TemporaryDirectory() as out:
+            br = BatchRenderer(out_dir=out, chunk_size=65536)
+            try:
+                results = br.run(jobs)
+            except ScriptError as e:
+                raise _BadRequest(400, str(e))
+            wavs = {}
+            for r in results:
+                if r.status == "ok" and r.wav_path:
+                    with open(r.wav_path, "rb") as f:
+                        wavs[r.name] = f.read()
+        resp = []
+        for r in results:
+            entry = {"name": r.name, "status": r.status,
+                     "seconds": round(r.seconds, 3),
+                     "rtf": round(r.rtf, 2), "error": r.error}
+            if r.name in wavs:
+                wav = wavs[r.name]
+                rid = hashlib.sha256(wav).hexdigest()[:24]
+                with self._lock:
+                    key = "result:" + rid
+                    if key not in self._cache:
+                        self._cache[key] = wav
+                        self._cache_total += len(wav)
+                        while (len(self._cache) > self._cache_entries
+                               or self._cache_total > self._cache_bytes):
+                            _, old = self._cache.popitem(last=False)
+                            self._cache_total -= len(old)
+                    self.stats_counts["renders"] += 1
+                    self._audio_seconds += r.seconds
+                entry["url"] = f"/v1/result/{rid}"
+            resp.append(entry)
+        self._send_json(h, 200, {"results": resp})
+
+    def _validate_script_body(self, body: dict, job_label: str = "") -> None:
+        """Shared bounds for /v1/render/script bodies and batch script
+        jobs (mutates body: normalized seconds)."""
+        if not isinstance(body.get("script"), str):
+            raise _BadRequest(
+                400, job_label + 'needs {"script": "<zangscript>", ...}')
+        if len(body["script"].encode()) > self.max_script_bytes:
+            raise _BadRequest(413, job_label + "script too large")
+        body["seconds"] = self._seconds(body.get("seconds")) or 4.0
+        poly = int(body.get("polyphony", 2))
+        if not 1 <= poly <= self.max_polyphony:
+            raise _BadRequest(
+                400, job_label
+                + f"polyphony must be in 1..{self.max_polyphony}")
+        try:
+            sr = float(body.get("sample_rate", 44100.0))
+        except (TypeError, ValueError):
+            raise _BadRequest(400, job_label + "sample_rate must be a number")
+        if not 1.0 <= sr <= 192000.0:
+            raise _BadRequest(
+                400, job_label + "sample_rate must be in [1, 192000]")
+        notes = body.get("notes", DEFAULT_NOTES)
+        if not isinstance(notes, (list, tuple)) or len(notes) > self.max_notes:
+            raise _BadRequest(
+                400, job_label + f"notes must be a list of <= {self.max_notes}")
+        for note in notes:
+            if (not isinstance(note, (list, tuple)) or len(note) != 3
+                    or not all(isinstance(x, (int, float)) for x in note)):
+                raise _BadRequest(
+                    400, job_label
+                    + "each note must be [t_on, duration, freq] numbers")
+
+    def _handle_result(self, h, rid: str) -> None:
+        with self._lock:
+            wav = self._cache.get("result:" + rid)
+            if wav is not None:
+                self._cache.move_to_end("result:" + rid)
+                self.stats_counts["cache_hits"] += 1
+        if wav is None:
+            raise _BadRequest(
+                404, "no such result (evicted? re-POST the batch)")
         self._send_wav(h, wav)
 
     # -- rendering + cache -----------------------------------------------------

@@ -254,9 +254,18 @@ def _abstract_sig(args) -> str:
     return "|".join(parts)
 
 
+# Bump whenever TRACED ARITHMETIC changes without a config/shape change —
+# instrument tags hash configs, not the ops' code, so a warm cache dir
+# would otherwise keep serving old-numerics executables as hits across an
+# upgrade (e.g. the round-3 TriSawOsc controlled path, decimator host-side
+# ratio + active gating, root out-expression masking).
+NUMERICS_VERSION = 3
+
+
 def cache_key(tag: str, args) -> str:
     raw = "\n".join([
         jax.__version__,
+        f"numerics-v{NUMERICS_VERSION}",
         _device_fingerprint(),
         tag,
         _abstract_sig(args),

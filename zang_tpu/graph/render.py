@@ -187,6 +187,42 @@ def make_render_fn(perf: Performance, total_frames: int, chunk_size: int = 65536
     return run, (perf.init_state(), starts, xs)
 
 
+def make_stream_step(perf: Performance, chunk_size: int = 65536,
+                     jit: bool = True):
+    """Jitted one-chunk step for streaming renders of `perf`.
+
+    Reusable across stream_blocks calls (and therefore across repeated
+    requests for the same piece) — jax.jit caches on this function object,
+    so holding it avoids re-tracing per request (serve/http.py keeps a
+    small LRU of these)."""
+
+    def step(state, c0, xs_chunk):
+        ctx = RenderCtx(
+            sample_rate=perf.sample_rate,
+            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
+            n=chunk_size,
+        )
+        return perf.render_chunk(state, xs_chunk, ctx)
+
+    return jax.jit(step) if jit else step
+
+
+def stream_blocks(perf: Performance, total_frames: int, step,
+                  chunk_size: int = 65536):
+    """Drive a make_stream_step fn over the piece, yielding f32
+    [C, <=chunk_size] blocks in order (state carried across chunks).
+    `step` must have been built from the SAME perf object."""
+    import numpy as np
+
+    xs_np, n_chunks = perf.chunk_xs(total_frames, chunk_size)
+    state = perf.init_state()
+    for i in range(n_chunks):
+        xs_chunk = jax.tree_util.tree_map(lambda a, i=i: a[i], xs_np)
+        state, out = step(state, jnp.int32(i * chunk_size), xs_chunk)
+        n = min(chunk_size, total_frames - i * chunk_size)
+        yield np.asarray(out)[:, :n]
+
+
 def stream_performance(
     perf: Performance,
     total_frames: int,
@@ -200,25 +236,8 @@ def stream_performance(
     as soon as it is rendered — the HTTP tier streams long WAVs from this
     instead of buffering the whole piece (serve/http.py /v1/render/stream).
     """
-    import numpy as np
-
-    xs_np, n_chunks = perf.chunk_xs(total_frames, chunk_size)
-
-    def step(state, c0, xs_chunk):
-        ctx = RenderCtx(
-            sample_rate=perf.sample_rate,
-            t_idx=c0 + jnp.arange(chunk_size, dtype=jnp.int32),
-            n=chunk_size,
-        )
-        return perf.render_chunk(state, xs_chunk, ctx)
-
-    fn = jax.jit(step) if jit else step
-    state = perf.init_state()
-    for i in range(n_chunks):
-        xs_chunk = jax.tree_util.tree_map(lambda a, i=i: a[i], xs_np)
-        state, out = fn(state, jnp.int32(i * chunk_size), xs_chunk)
-        n = min(chunk_size, total_frames - i * chunk_size)
-        yield np.asarray(out)[:, :n]
+    step = make_stream_step(perf, chunk_size, jit=jit)
+    yield from stream_blocks(perf, total_frames, step, chunk_size)
 
 
 def render_performance(

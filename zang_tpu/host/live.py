@@ -127,6 +127,13 @@ class LiveSession:
             self._init_controllers(part)
         self._horizon = 1 << 20  # plan horizon (frames); grows by doubling
         self._held_keys = {}  # part -> {key: note_id} (default key pairing)
+        # construction-time spec identity for snapshot/restore matching:
+        # live-parameter edits mutate instrument cfg (apply_plan_params
+        # mirrors values), so the CURRENT fingerprint drifts with play —
+        # two sessions built from the same parts spec must match no matter
+        # which side's knobs moved (the values themselves travel in the
+        # snapshot and are re-applied after validation)
+        self._pristine_spec = self._spec_fingerprint()
 
     @staticmethod
     def _init_params(part: _PartState) -> None:
@@ -596,7 +603,7 @@ class LiveSession:
             ]
             state = {
                 "version": 1,
-                "spec": self._spec_fingerprint(),
+                "spec": self._pristine_spec,
                 "frame": self.frame,
                 "horizon": self._horizon,
                 "slot_capacity": self.slot_capacity,
@@ -616,32 +623,38 @@ class LiveSession:
         state = snap.loads(blob)
         if state.get("version") != 1:
             raise ValueError(f"unknown snapshot version {state.get('version')}")
-        # live parameter values apply BEFORE the spec check: plan-kind
-        # params mutate the instrument config the fingerprint hashes, so a
-        # snapshot taken after param changes only matches once the fresh
-        # session's instruments carry the same values
-        for p, ps in zip(self.parts, state["parts"]):
-            vals = ps.get("params")
-            if vals is not None:
-                if p.params is None:
-                    raise ValueError(
-                        "snapshot spec mismatch: saved session had live "
-                        "parameters, this instrument exposes none")
-                try:
-                    for k, v in vals.items():
-                        p.params.set(k, v)
-                except KeyError as e:
-                    raise ValueError(
-                        f"snapshot spec mismatch: {e}") from None
-                self._apply_params(p, set(vals))
-        if state["spec"] != self._spec_fingerprint():
+        # validate EVERYTHING before mutating: a refused restore must leave
+        # the target session untouched (a server lane rejecting a wire
+        # restore keeps serving with its own parameters). Specs compare by
+        # construction-time fingerprint — live edits on either side don't
+        # change identity, the values travel in the snapshot below.
+        if state["spec"] != self._pristine_spec:
             raise ValueError(
                 f"snapshot spec mismatch: saved {state['spec']} vs this "
-                f"session {self._spec_fingerprint()}")
+                f"session {self._pristine_spec}")
+        for p, ps in zip(self.parts, state["parts"]):
+            vals = ps.get("params")
+            if vals is None:
+                continue
+            if p.params is None:
+                raise ValueError(
+                    "snapshot spec mismatch: saved session had live "
+                    "parameters, this instrument exposes none")
+            unknown = set(vals) - set(p.params.by_name)
+            if unknown:
+                raise ValueError(
+                    f"snapshot spec mismatch: unknown parameter(s) "
+                    f"{sorted(unknown)}")
         with self._lock:
             if self.frame != 0 or any(p.segs[v] for p in self.parts
                                       for v in range(p.polyphony)):
                 raise ValueError("restore target must be a fresh session")
+            for p, ps in zip(self.parts, state["parts"]):
+                vals = ps.get("params")
+                if vals is not None:
+                    for k, v in vals.items():
+                        p.params.set(k, v)
+                    self._apply_params(p, set(vals))
             self.frame = state["frame"]
             self._horizon = state["horizon"]
             self.slot_capacity = max(self.slot_capacity,

@@ -257,6 +257,7 @@ class RenderHTTPServer:
         self._cache_bytes = int(cache_bytes)
         self._cache: "OrderedDict[str, bytes]" = OrderedDict()
         self._cache_total = 0
+        self._stream_fns: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._inflight = {}  # key -> threading.Event (single-flight)
         self._lock = threading.Lock()
         self.stats_counts = {
@@ -449,7 +450,6 @@ class RenderHTTPServer:
         within the first chunk instead of after the full render."""
         from ..core.mixdown import mixdown_s16_np
         from ..core.wav import wav_header_s16
-        from ..graph.render import stream_performance
 
         name = q.get("config", [None])[0]
         if not name:
@@ -464,7 +464,9 @@ class RenderHTTPServer:
                 400, f"seconds must be in (0, {self.max_stream_seconds}]")
         volume = self._volume(q.get("volume", [None])[0])
         with self._render_sem:
-            perf, total = _build_config(name, seconds)
+            # build + compile BEFORE headers: failures here still produce a
+            # clean JSON error response through _handle's handler
+            perf, total, stream = self._stream_cached(name, seconds)
             channels = perf.num_channels
             sr = int(perf.sample_rate)
             data_bytes = total * channels * 2
@@ -475,8 +477,7 @@ class RenderHTTPServer:
             h.wfile.write(wav_header_s16(sr, channels, total))
             sent = 0
             try:
-                for block in stream_performance(perf, total,
-                                                chunk_size=65536):
+                for block in stream:
                     pcm = mixdown_s16_np(block, volume)
                     # WAV interleaves channels per frame
                     h.wfile.write(
@@ -486,9 +487,42 @@ class RenderHTTPServer:
             except (BrokenPipeError, ConnectionResetError):
                 h.close_connection = True
                 return  # client hung up: stop rendering
+            except Exception:  # noqa: BLE001 — headers are already out:
+                # writing a JSON error now would inject a second response
+                # into the fixed-length WAV body; abort the connection so
+                # the client sees a short read instead of garbage audio
+                h.close_connection = True
+                with self._lock:
+                    self.stats_counts["failures"] += 1
+                return
         with self._lock:
             self.stats_counts["renders"] += 1
             self._audio_seconds += sent / float(sr)
+
+    # tiny LRU of (perf, total, jitted step) per (config, seconds): a
+    # repeated stream request reuses the compiled step instead of paying
+    # the trace+compile again while holding a render slot
+    _STREAM_CACHE_ENTRIES = 4
+
+    def _stream_cached(self, name: str, seconds: float):
+        from ..graph.render import make_stream_step, stream_blocks
+
+        key = (name, float(seconds))
+        with self._lock:
+            hit = self._stream_fns.get(key)
+            if hit is not None:
+                self._stream_fns.move_to_end(key)
+        if hit is None:
+            perf, total = _build_config(name, seconds)
+            step = make_stream_step(perf, chunk_size=65536)
+            with self._lock:
+                self._stream_fns[key] = (perf, total, step)
+                while len(self._stream_fns) > self._STREAM_CACHE_ENTRIES:
+                    self._stream_fns.popitem(last=False)
+        else:
+            perf, total, step = hit
+        return perf, total, stream_blocks(perf, total, step,
+                                          chunk_size=65536)
 
     def _handle_batch(self, h) -> None:
         """Tier-3 over HTTP: run N jobs through the BatchRenderer (shared
@@ -552,6 +586,11 @@ class RenderHTTPServer:
                     with open(r.wav_path, "rb") as f:
                         wavs[r.name] = f.read()
         resp = []
+        protected = set()  # this response's keys: evicting a result whose
+        # URL the client hasn't even received yet would make the response
+        # a lie (one oversized batch can exceed cache_bytes on its own;
+        # the transient overshoot is bounded by one batch and becomes
+        # evictable as soon as later insertions arrive)
         for r in results:
             entry = {"name": r.name, "status": r.status,
                      "seconds": round(r.seconds, 3),
@@ -561,13 +600,17 @@ class RenderHTTPServer:
                 rid = hashlib.sha256(wav).hexdigest()[:24]
                 with self._lock:
                     key = "result:" + rid
+                    protected.add(key)
                     if key not in self._cache:
                         self._cache[key] = wav
                         self._cache_total += len(wav)
-                        while (len(self._cache) > self._cache_entries
-                               or self._cache_total > self._cache_bytes):
-                            _, old = self._cache.popitem(last=False)
-                            self._cache_total -= len(old)
+                    evictable = [k for k in self._cache
+                                 if k not in protected]
+                    while evictable and (
+                            len(self._cache) > self._cache_entries
+                            or self._cache_total > self._cache_bytes):
+                        old = self._cache.pop(evictable.pop(0))
+                        self._cache_total -= len(old)
                     self.stats_counts["renders"] += 1
                     self._audio_seconds += r.seconds
                 entry["url"] = f"/v1/result/{rid}"

@@ -469,7 +469,7 @@ class LiveServer:
                         return  # bye
         except _ClientError as e:
             self._send_error(sock, lane, str(e))
-        except (OSError, ValueError, KeyError) as e:
+        except (OSError, ValueError, KeyError, IndexError, TypeError) as e:
             # malformed frame or dead socket: drop the client, keep serving
             self._send_error(sock, lane, repr(e))
         finally:
@@ -532,29 +532,39 @@ class LiveServer:
                       num_channels=audio.shape[0])
         return fname, audio.shape[1] / float(sr)
 
+    def _part_index(self, lane: int, msg: dict) -> int:
+        """Validated part index: a bad index must answer with an error ack,
+        not an IndexError that drops the client and detaches its lane."""
+        part = int(msg.get("part", 0))
+        n = len(self.fleet.lanes[lane].parts)
+        if not 0 <= part < n:
+            raise _ClientError(
+                f"part {part} out of range (instrument has {n} part(s))")
+        return part
+
     def _dispatch(self, lane: int, msg: dict) -> bool:
         """Apply one client frame; True = orderly goodbye."""
         op = msg.get("op")
         if op == "event":
             self.fleet.push_event(
-                lane, int(msg.get("part", 0)), dict(msg["params"]),
+                lane, self._part_index(lane, msg), dict(msg["params"]),
                 note_id=msg.get("note_id"),
                 impulse_frame=int(msg.get("impulse_frame", 0)))
         elif op == "key":
             kw = {k: v for k, v in msg.items()
                   if k not in ("op", "part", "key", "down")}
             self.fleet.key_event(
-                lane, int(msg.get("part", 0)), msg["key"],
+                lane, self._part_index(lane, msg), msg["key"],
                 bool(msg["down"]), **kw)
         elif op == "controller":
             try:
                 self.fleet.push_controller(
-                    lane, int(msg.get("part", 0)), str(msg["name"]),
+                    lane, self._part_index(lane, msg), str(msg["name"]),
                     float(msg["value"]))
             except ValueError as e:
                 raise _ClientError(str(e))
         elif op == "params":
-            part = int(msg.get("part", 0))
+            part = self._part_index(lane, msg)
             specs = self.fleet.param_specs(lane, part)
             self._reply(lane, {
                 "op": "params", "part": part,
@@ -564,7 +574,7 @@ class LiveServer:
                            "kind": s.kind} for s in specs],
                 "values": self.fleet.get_params(lane, part)})
         elif op in ("set_param", "step_param"):
-            part = int(msg.get("part", 0))
+            part = self._part_index(lane, msg)
             name = str(msg.get("name", ""))
             try:
                 if op == "set_param":
@@ -578,7 +588,7 @@ class LiveServer:
             self._reply(lane, {"op": "param", "part": part,
                                "name": name, "value": v})
         elif op == "randomize_params":
-            part = int(msg.get("part", 0))
+            part = self._part_index(lane, msg)
             seed = msg.get("seed")
             import random as _random
 

@@ -150,6 +150,11 @@ class ScriptGen:
         self.lets = []  # statements for the root body
         self.n_lets = 0
         self.submodule = None  # (name, src)
+        # at most ONE white-noise site per script: the oracle's injected
+        # tape (render_script_oracle noise_tapes) is shared by every Noise
+        # field, while each engine site draws its own threefry stream
+        # keyed by crc32(site) — one site keeps the mapping exact
+        self.allow_noise = False
 
     # -- leaf helpers -------------------------------------------------------
 
@@ -279,6 +284,10 @@ class ScriptGen:
     def signal_expr(self, depth):
         if depth <= 0:
             return self.osc_expr(0)
+        if self.allow_noise and self.rng.random() < 0.30:
+            self.allow_noise = False
+            return (f"(Noise(color=.white) * "
+                    f"{self.let(self.control_expr(0))})")
         r = self.rng.random()
         if r < 0.30:
             return self.osc_expr(depth)
@@ -354,6 +363,46 @@ def _fuzz_song(rng: random.Random):
     return [SongEvent(p, tt, n) for tt, n, p in events]
 
 
+def _noise_sites(ops):
+    """Engine noise sites in a planned program (recurses into the delay/
+    track sub-programs under "inner")."""
+    sites = []
+    for e in ops:
+        if e.get("op") == "noise":
+            sites.append(e["site"])
+        if "inner" in e:
+            sites.extend(_noise_sites(e["inner"]))
+    return sites
+
+
+def _engine_noise_tapes(inst, polyphony: int, total: int, chunk: int):
+    """Reproduce the engine's positional white tape per subvoice.
+
+    Mirrors script/jax_backend.py exec_op "noise": per chunk c the tape is
+    uniform[0,1) from fold_in(PRNGKey(crc32(site)), c*chunk), shape
+    [V, chunk] — threefry is platform-deterministic, so the host draw
+    matches the device draw bit-for-bit.
+    """
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sites = _noise_sites(inst._ir["ops"])
+    if not sites:
+        return None
+    assert len(sites) == 1, f"fuzz scripts emit at most one Noise: {sites}"
+    key0 = jax.random.PRNGKey(zlib.crc32(sites[0].encode()) & 0x7FFFFFFF)
+    cols = []
+    for c in range(-(-total // chunk)):
+        key = jax.random.fold_in(key0, c * chunk)
+        cols.append(np.asarray(
+            jax.random.uniform(key, (polyphony, chunk), dtype=jnp.float32)))
+    tape = np.concatenate(cols, axis=1)[:, :total]
+    return [tape[v] for v in range(polyphony)]
+
+
 def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
     """Returns (rms_dbfs deviation, script source)."""
     import numpy as np
@@ -364,7 +413,9 @@ def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
     from zang_tpu.script.jax_backend import ScriptInstrument
 
     rng = random.Random(777000 + seed)
-    src = ScriptGen(rng).script()
+    gen = ScriptGen(rng)
+    gen.allow_noise = rng.random() < 0.5
+    src = gen.script()
     total = int(seconds * sr)
     song = _fuzz_song(rng)
     polyphony = rng.choice([1, 1, 2])
@@ -373,8 +424,10 @@ def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
     tls = compile_timelines(song, polyphony, sr, total)
     engine = render_performance(Performance([(inst, tls)], sr), total,
                                 chunk_size=8192)
+    noise_tapes = _engine_noise_tapes(inst, polyphony, total, chunk=8192)
     oracle = render_script_oracle(cs, "Root", song, total, sr,
-                                  polyphony=polyphony)
+                                  polyphony=polyphony,
+                                  noise_tapes=noise_tapes)
     a = np.asarray(engine)
     b = np.asarray(oracle)
     assert a.shape == b.shape

@@ -425,14 +425,23 @@ class Noise:
     num_outputs = 1
     num_temps = 0
 
-    def __init__(self, mode: str = "exact", tape_fn=None) -> None:
+    def __init__(self, mode: str = "exact", tape_fn=None,
+                 tape_span_fn=None) -> None:
         seed = _noise_next_seed[0]
         _noise_next_seed[0] += 1
         self._rng = _Xoshiro256pp(seed)
         self.b = np.zeros(7, dtype=np.float32)
         self.tape_fn = tape_fn
+        # positional variant: tape_span_fn(span, n) — lets differential
+        # tests feed the engine's POSITIONAL tape (frame f -> tape[f])
+        # rather than a sequential stream, so alignment survives the
+        # paint-protocol's active-span gaps (tests/test_script_fuzz.py)
+        self.tape_span_fn = tape_span_fn
 
-    def _tape(self, n: int) -> np.ndarray:
+    def _tape(self, span, n: int) -> np.ndarray:
+        if self.tape_span_fn is not None:
+            return np.ascontiguousarray(self.tape_span_fn(span, n),
+                                        dtype=np.float32)
         if self.tape_fn is not None:
             return np.ascontiguousarray(self.tape_fn(n), dtype=np.float32)
         return np.array([self._rng.float_f32() for _ in range(n)], dtype=np.float32)
@@ -440,7 +449,7 @@ class Noise:
     def paint(self, span, outputs, temps, note_id_changed, params):
         out = outputs[0][span.start : span.end]
         n = len(out)
-        tape = self._tape(n)
+        tape = self._tape(span, n)
         if params["color"] == "white":
             out += tape * np.float32(2.0) - np.float32(1.0)
         else:

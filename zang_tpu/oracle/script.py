@@ -77,10 +77,15 @@ class OracleScriptModule:
     enums, list[CurveNode] for curves).
     """
 
-    def __init__(self, compiled, module_index: int, mode: str = "parity") -> None:
+    def __init__(self, compiled, module_index: int, mode: str = "parity",
+                 noise_tape=None) -> None:
         self.c = compiled
         self.module_index = module_index
         self.mode = mode
+        # noise_tape(span, n): positional white-noise tape hook threaded to
+        # every Noise field in this module tree (differential fuzz injects
+        # the engine's threefry tape; see oracle/modules.py Noise)
+        self.noise_tape = noise_tape
         self.mr = compiled.codegen_result.module_results[module_index]
         self.module = compiled.modules[module_index]
         self.num_outputs = self.mr.num_outputs
@@ -98,9 +103,13 @@ class OracleScriptModule:
                         f"oracle interpreter has no builtin "
                         f"{sub.builtin_name!r} (user-registered builtins "
                         "render only through the JAX backend)")
-                self.fields.append(cls(mode))
+                if cls is m.Noise and noise_tape is not None:
+                    self.fields.append(cls(mode, tape_span_fn=noise_tape))
+                else:
+                    self.fields.append(cls(mode))
             else:
-                self.fields.append(OracleScriptModule(compiled, f.module_index, mode))
+                self.fields.append(OracleScriptModule(
+                    compiled, f.module_index, mode, noise_tape=noise_tape))
         self.delays = [m.Delay(n) for n in self.mr.delays]
         # track_call sites: tracker per note_tracker_index, trigger per
         # trigger_index (codegen allocates them pairwise)
@@ -383,23 +392,50 @@ def make_root_params(compiled, module_index: int, param_map=None):
 def render_script_oracle(compiled, module_name: str, song, total: int,
                          sample_rate: float, polyphony: int = 1,
                          mode: str = "parity", param_map=None,
-                         block_size: int = 1024) -> np.ndarray:
+                         block_size: int = 1024,
+                         noise_tapes=None) -> np.ndarray:
     """Render a compiled script through the oracle interpreter.
 
     Mirrors ScriptInstrument + render_performance: a NoteTracker/
     PolyphonyDispatcher voice stack drives one OracleScriptModule per
     subvoice. Returns f32 [num_outputs, total].
+
+    noise_tapes: optional [polyphony][>= total] uniform-[0,1) arrays — the
+    POSITIONAL white tape per subvoice (frame f reads tape[f]), matching the
+    engine's chunk-keyed threefry draw so Noise joins differential parity
+    (the engine generates noise positionally over the whole chunk; a
+    sequential per-paint stream would misalign across active-span gaps).
     """
     mi = compiled.find_module(module_name)
     mr = compiled.codegen_result.module_results[mi]
     make_params = make_root_params(compiled, mi, param_map)
 
-    voice = oracle_engine.Voice(
-        song, polyphony,
-        lambda: OracleScriptModule(compiled, mi, mode),
-        make_params)
+    if noise_tapes is None:
+        make_module = lambda: OracleScriptModule(compiled, mi, mode)  # noqa: E731
+    else:
+        vctr = [0]
+        off = [0]  # absolute frame of the current block's start
+
+        def make_module():
+            v = vctr[0]
+            vctr[0] += 1
+
+            def tape_span(span, n, v=v):
+                s = off[0] + span.start
+                return noise_tapes[v][s:s + n]
+
+            return OracleScriptModule(compiled, mi, mode,
+                                      noise_tape=tape_span)
+
+    voice = oracle_engine.Voice(song, polyphony, make_module, make_params)
+
+    def paint(span, o, t):
+        voice.paint(span, sample_rate, o, t)
+        if noise_tapes is not None:
+            off[0] += span.end - span.start
+
     return oracle_engine.render_blocks(
-        lambda span, o, t: voice.paint(span, sample_rate, o, t),
+        paint,
         total_frames=total,
         num_outputs=mr.num_outputs,
         num_temps=mr.num_temps,

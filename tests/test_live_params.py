@@ -158,6 +158,20 @@ class TestLiveSessionParams:
         a.set_param(0, "car_volume", 0)
         assert np.array_equal(a.render_block(), b.render_block())
 
+    def test_device_param_mirrors_into_config(self):
+        """A device-kind edit is mirrored into the instrument config too
+        (apply_plan_params' documented guarantee, instruments.py): an
+        offline plan()/render() of this instance matches the live values
+        instead of keeping the constructor's."""
+        live = fm_session()
+        live.render_block()
+        live.set_param(0, "mod_volume", 40)  # kind="device"
+        inst = live.parts[0].instrument
+        assert inst.cfg["mod_volume"] == 40
+        from zang_tpu.host.instruments import _opl_volume
+
+        assert inst.mod["volume"] == _opl_volume(40)
+
     def test_plan_param_lands_next_block(self):
         """Sustain level is plan-kind: the incremental planner repaints the
         open envelope segment with the new value. (Fast ADR indices — the
@@ -252,6 +266,26 @@ class TestControllers:
             out_b.append(b.render_blocks(2))
         assert np.array_equal(np.concatenate(out_a, axis=1),
                               np.concatenate(out_b, axis=1))
+
+    def test_out_of_order_frames_clamped_monotonic(self):
+        """An explicit frame earlier than a previous move is clamped
+        monotonic at push time: the incremental walk commits in order
+        while the full-replan path sorts, so an unclamped past frame would
+        silently drop the earlier move from ONE path only (bit-exactness
+        break)."""
+        a = self._session()
+        b = self._session(ZANG_LIVE_INC="0")
+        out_a = [a.render_blocks(2)]
+        out_b = [b.render_blocks(2)]
+        for s in (a, b):
+            s.push_controller(0, "x", 0.9, frame=s.frame + 50000)
+            s.push_controller(0, "x", 0.1)  # would land BEFORE the 0.9 move
+        out_a.append(a.render_blocks(60))
+        out_b.append(b.render_blocks(60))
+        assert np.array_equal(np.concatenate(out_a, axis=1),
+                              np.concatenate(out_b, axis=1))
+        frames = [f for f, _ in a.parts[0].controllers["x"]]
+        assert frames == sorted(frames)
 
     def test_live_matches_offline(self):
         """Same controller frames + note events -> live blocks equal the

@@ -51,6 +51,21 @@ class TestDecimator:
         _, _, out = effects.decimator(cnt0, dval0, jnp.asarray(x)[None], 5512.0, 44100.0)
         np.testing.assert_array_equal(a, np.asarray(out[0]))
 
+    def test_np_scalar_fake_takes_host_division(self):
+        """np.float32 fake_sample_rate must take the correctly rounded
+        HOST division like a python float — falling through to XLA's
+        reciprocal-based device division drifts the u32 latch grid
+        (1858/44100 is a 1-ulp-off case on XLA:CPU)."""
+        n = 4096
+        x = (np.random.default_rng(3).standard_normal(n)).astype(np.float32)
+        cnt0 = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
+        dval0 = jnp.zeros((1,), jnp.float32)
+        _, _, ref = effects.decimator(
+            cnt0, dval0, jnp.asarray(x)[None], 1858.0, 44100.0)
+        _, _, got = effects.decimator(
+            cnt0, dval0, jnp.asarray(x)[None], np.float32(1858.0), 44100.0)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
     def test_passthrough_when_fake_geq_sr(self):
         x = np.arange(16, dtype=np.float32)
         cnt0 = jnp.full((1,), 123, jnp.uint32)

@@ -289,6 +289,96 @@ class TestStreamEndpoint:
                  timeout=10.0)
         assert ei.value.code == 400
 
+    def test_stream_failure_before_headers_is_clean_error(self, srv,
+                                                          monkeypatch):
+        """jax.jit compiles lazily, so the handler runs the FIRST chunk
+        before sending headers — a graph that fails to compile or execute
+        must answer a clean JSON error, never a truncated 200 WAV the
+        client would mistake for audio."""
+        import zang_tpu.graph.render as gr
+
+        def broken_step_factory(perf, chunk_size=65536, jit=True):
+            def step(state, c0, xs_chunk):
+                raise RuntimeError("induced device failure")
+
+            return step
+
+        monkeypatch.setattr(gr, "make_stream_step", broken_step_factory)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            # unique seconds value: the broken step is cached under this key
+            _get(srv, "/v1/render/stream?config=sampler&seconds=1.53",
+                 timeout=60.0)
+        assert ei.value.code == 500
+        assert b"induced device failure" in ei.value.read()
+
+    def test_stream_releases_render_slot_during_body_writes(self, srv):
+        """The render slot is held only across device work: the body write
+        is paced by the client's TCP window, and a slow consumer must not
+        pin one of the few slots for the whole piece (otherwise two
+        curl-at-1x listeners block every other endpoint)."""
+        sem_values = []
+
+        class _Wfile:
+            @staticmethod
+            def write(data):
+                sem_values.append(srv._render_sem._value)
+
+            @staticmethod
+            def flush():
+                pass
+
+        class _FakeHandler:
+            wfile = _Wfile()
+
+            def send_response(self, code):
+                sem_values.append(("headers", srv._render_sem._value))
+
+            def send_header(self, *a):
+                pass
+
+            def end_headers(self):
+                pass
+
+        srv._handle_stream(_FakeHandler(),
+                           {"config": ["sampler"], "seconds": ["1"]})
+        writes = [v for v in sem_values if not isinstance(v, tuple)]
+        assert writes, "no body writes recorded"
+        # every write (incl. the WAV header) saw all slots free
+        assert all(v == srv._render_sem._value for v in writes)
+        assert min(writes) == max(writes) >= 2
+
+    def test_stream_single_flight_shares_one_step(self, srv, monkeypatch):
+        """Concurrent first requests for the same (config, seconds) must
+        build ONE jitted step (jax then serializes the compile internally)
+        instead of each paying the trace+compile."""
+        import time
+
+        import zang_tpu.serve.http as http_mod
+
+        calls = []
+        real_build = http_mod._build_config
+
+        def slow_build(name, seconds):
+            calls.append(name)
+            time.sleep(0.3)  # force the second thread into the wait path
+            return real_build(name, seconds)
+
+        monkeypatch.setattr(http_mod, "_build_config", slow_build)
+        results = []
+
+        def fetch():
+            with _get(srv,
+                      "/v1/render/stream?config=sampler&seconds=1.21") as r:
+                results.append(r.read())
+
+        ts = [threading.Thread(target=fetch) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(calls) == 1, calls
+        assert len(results) == 2 and results[0] == results[1]
+
 
 class TestBatchEndpoint:
     """POST /v1/render/batch: tier-3 BatchRenderer over HTTP."""

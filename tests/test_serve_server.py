@@ -117,6 +117,50 @@ class TestProtocol:
             finally:
                 c.close()
 
+    def test_recoverable_error_keeps_lane_alive(self):
+        """A bad part index (or any recoverable _ClientError) answers an
+        error frame and KEEPS serving: a typo'd frame must not tear down
+        a live audio stream (the lane used to be detached)."""
+        import json
+
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            try:
+                c.sock.sendall(json.dumps(
+                    {"op": "key", "part": 99, "key": "q", "down": True}
+                ).encode() + b"\n")
+                with pytest.raises(RuntimeError, match="out of range"):
+                    for _ in range(200):
+                        c.read_block()
+                # the SAME connection still takes events and plays
+                c.send_key(0, "q", True)
+                assert read_until_audible(c) > 100
+            finally:
+                c.close()
+
+    def test_restore_disabled_discards_blob_and_keeps_serving(self):
+        """A restore attempt against a server without allow_migration
+        consumes the (bounded) payload so the line parser stays in sync —
+        the blob may contain newlines — acks the error, and keeps the
+        client attached."""
+        import json
+
+        with make_server() as srv:  # allow_migration defaults off
+            c = LiveClient(srv.host, srv.port)
+            try:
+                blob = b"\x00" * 1000 + b"\n" * 24
+                c.sock.sendall(json.dumps(
+                    {"op": "restore", "nbytes": len(blob)}
+                ).encode() + b"\n" + blob)
+                with pytest.raises(RuntimeError,
+                                   match="migration disabled"):
+                    for _ in range(200):
+                        c.read_block()
+                c.send_event(0, {"freq": 440.0, "note_on": True})
+                assert read_until_audible(c) > 100
+            finally:
+                c.close()
+
     def test_unknown_op_gets_error(self):
         with make_server() as srv:
             c = LiveClient(srv.host, srv.port)

@@ -423,7 +423,11 @@ class MousePMInstrument:
     def _controller_program(self, events, fn, sample_rate, total):
         st = control.PortamentoWalkStream(sample_rate,
                                           lambda k, p: fn(p))
-        evs = sorted(events)
+        # stable sort by FRAME only: a bare sorted() on (frame, value)
+        # tuples re-orders same-frame moves by value, but the live
+        # incremental walk honors push order (last push wins) — the two
+        # paths must agree bit-for-bit
+        evs = sorted(events, key=lambda ev: ev[0])
         for i, (s, v) in enumerate(evs):
             e = evs[i + 1][0] if i + 1 < len(evs) else max(total, int(s) + 1)
             st.feed(int(s), int(e), True, {"value": float(v)})

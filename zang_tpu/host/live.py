@@ -229,7 +229,14 @@ class LiveSession:
         examples/example_mouse.zig): re-targets every plan channel bound to
         `name` on the next block — the portamento glides toward the new
         value from wherever it is now. frame defaults to the next block
-        start (the reference's getImpulseFrame() is always 0)."""
+        start (the reference's getImpulseFrame() is always 0).
+
+        Explicit frames are clamped monotonic (>= the session clock and
+        >= the previous move of the same controller): the incremental
+        planner commits walks in order, while the full-replan path sorts —
+        a frame in the past would silently drop the prior move from one
+        path but not the other, breaking their bit-exactness. A live host
+        cannot honor a past frame anyway."""
         p = self.parts[part]
         if p.controllers is None or name not in p.controllers:
             have = [] if p.controllers is None else sorted(p.controllers)
@@ -237,6 +244,10 @@ class LiveSession:
                 f"part {part} has no controller {name!r}; available: {have}")
         with self._lock:
             f = self.frame if frame is None else int(frame)
+            f = max(f, self.frame)
+            moves = p.controllers[name]
+            if moves:
+                f = max(f, moves[-1][0])
             p.controllers[name].append((f, float(value)))
             if p.planner is not None:
                 p.planner.extend_controller(name, f, float(value))
@@ -269,8 +280,12 @@ class LiveSession:
             part.param_vec = np.asarray(
                 part.instrument.device_params(part.params.values),
                 np.float32)
+        # mirror EVERY change into the instrument config (apply_plan_params
+        # documents that device-kind values are mirrored too, so an offline
+        # plan()/render() of this instance matches the live values) — but
+        # only plan-affecting kinds invalidate the re-plan cache
+        part.instrument.apply_plan_params(part.params.values)
         if kinds & {"plan", "both"}:
-            part.instrument.apply_plan_params(part.params.values)
             part.plan_nonce += 1  # invalidates the full re-plan cache
 
     def set_param(self, part: int, name: str, value: int) -> int:

@@ -72,7 +72,12 @@ def decimator(
     fake = jnp.asarray(fake_sample_rate, jnp.float32)
     sr = jnp.float32(sample_rate)
     if ratio is None:
-        if isinstance(fake_sample_rate, (int, float)):
+        # numbers.Real also catches np.float32/np.float64 scalars — a
+        # host-known fake of any scalar type must take the correctly
+        # rounded host division, never the device fallback
+        import numbers
+
+        if isinstance(fake_sample_rate, numbers.Real):
             ratio = jnp.float32(
                 np.float32(np.float32(fake_sample_rate)
                            / np.float32(sample_rate)))

@@ -209,7 +209,9 @@ def controller_buffer(events, total: int, sr: float, goal_fn) -> np.ndarray:
     glides, example_mouse.zig:152-190)."""
     porta = m.Portamento(mode="parity")
     buf = np.zeros(total, dtype=np.float32)
-    evs = sorted(events)
+    # stable frame-only sort, matching _controller_program: same-frame
+    # moves keep push order so the last push wins in every path
+    evs = sorted(events, key=lambda ev: ev[0])
     for i, (s, v) in enumerate(evs):
         e = evs[i + 1][0] if i + 1 < len(evs) else max(total, int(s) + 1)
         s, e = int(s), min(int(e), total)

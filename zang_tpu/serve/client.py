@@ -619,18 +619,23 @@ def _stdin_keys():
                         yield tok
                     continue
                 if seq == "[":
-                    # CSI: read parameter digits until the final byte
+                    # CSI: consume parameter/intermediate bytes (0x20-0x3F:
+                    # digits, ';' separators, ...) until the FINAL byte in
+                    # 0x40-0x7E — a modified arrow like Ctrl-Right
+                    # (\x1b[1;5C) must not leak its tail into the key
+                    # stream as note presses
                     params = ""
                     while True:
                         fin = sys.stdin.read(1)
-                        if not fin or not fin.isdigit():
+                        if not fin or "\x40" <= fin <= "\x7e":
                             break
                         params += fin
                     if fin == "~":
-                        tok = csi_fkeys.get(params)
+                        tok = csi_fkeys.get(params.split(";")[0])
                         if tok:
                             yield tok
                         continue
+                    # plain OR modified arrows both map (params ignored)
                     tok = arrows.get(fin)
                     if tok:
                         yield tok

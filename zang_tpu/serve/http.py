@@ -99,47 +99,19 @@ def _render_example(name: str, seconds: Optional[float], volume: float):
 
 def _render_script(body: dict, volume: float):
     from ..core.mixdown import mixdown_s16_np
-    from ..core.notes import SongEvent
-    from ..core.timeline import compile_timelines
     from ..core.wav import encode_wav_s16
-    from ..graph.render import Performance, render_performance
-    from ..script import compile_script
-    from ..script.jax_backend import ScriptInstrument
+    from ..graph.render import render_performance
 
-    src = body["script"]
     sr = float(body.get("sample_rate", 44100.0))
-    seconds = float(body.get("seconds", 4.0))
     assert 1.0 <= sr <= 192000.0, sr  # bounded in _handle_script
-    polyphony = int(body.get("polyphony", 2))
-    notes = body.get("notes", DEFAULT_NOTES)
-    extra = dict(body.get("params", {}))
-    # JSON has no tuples; enum-with-payload labels arrive as [label, payload]
-    for k, v in extra.items():
-        if isinstance(v, list):
-            extra[k] = tuple(v)
-
-    cs = compile_script(src)
-    module = body.get("module")
-    if module is None:
-        if not cs.exported_modules:
-            raise _BadRequest(400, "script exports no modules")
-        module = cs.exported_modules[-1].name
-    inst = ScriptInstrument(cs, str(module))
-
-    song = []
-    for i, note in enumerate(notes):
-        t_on, dur, freq = (float(x) for x in note)
-        p = {"freq": np.float32(freq), "note_on": True, **extra}
-        q = {"freq": np.float32(freq), "note_on": False, **extra}
-        song.append(SongEvent(p, t=t_on, note_id=i + 1))
-        song.append(SongEvent(q, t=t_on + dur, note_id=i + 1))
-    song.sort(key=lambda e: (e.t, e.note_id))
-
-    total = int(seconds * sr)
-    tls = compile_timelines(song, polyphony, sr, total)
+    body = dict(body)
+    body.setdefault("seconds", 4.0)
+    # ONE builder shared with the batch tier (_build_script_job): the note
+    # convention / module selection / param coercion must not fork between
+    # POST /v1/render/script and batch script jobs
+    perf, total = _build_script_job(body)
     audio = render_performance(
-        Performance([(inst, tls)], sr), total,
-        chunk_size=min(16384, max(256, total)))
+        perf, total, chunk_size=min(16384, max(256, total)))
     pcm = mixdown_s16_np(np.asarray(audio), volume)
     return encode_wav_s16(pcm.reshape(-1), int(sr), 1)
 
@@ -463,38 +435,48 @@ class RenderHTTPServer:
             raise _BadRequest(
                 400, f"seconds must be in (0, {self.max_stream_seconds}]")
         volume = self._volume(q.get("volume", [None])[0])
+        # Build + compile + render the FIRST chunk before sending headers.
+        # jax.jit compiles lazily on the first call, so only a completed
+        # first step proves the graph compiles and the device answers —
+        # failures here still produce a clean JSON error response through
+        # _handle's handler instead of a truncated 200 WAV.
+        perf, total, stream = self._stream_cached(name, seconds)
         with self._render_sem:
-            # build + compile BEFORE headers: failures here still produce a
-            # clean JSON error response through _handle's handler
-            perf, total, stream = self._stream_cached(name, seconds)
-            channels = perf.num_channels
-            sr = int(perf.sample_rate)
-            data_bytes = total * channels * 2
-            h.send_response(200)
-            h.send_header("Content-Type", "audio/wav")
-            h.send_header("Content-Length", str(44 + data_bytes))
-            h.end_headers()
-            h.wfile.write(wav_header_s16(sr, channels, total))
-            sent = 0
-            try:
-                for block in stream:
-                    pcm = mixdown_s16_np(block, volume)
-                    # WAV interleaves channels per frame
-                    h.wfile.write(
-                        np.ascontiguousarray(pcm.T).tobytes())
-                    h.wfile.flush()
-                    sent += block.shape[1]
-            except (BrokenPipeError, ConnectionResetError):
-                h.close_connection = True
-                return  # client hung up: stop rendering
-            except Exception:  # noqa: BLE001 — headers are already out:
-                # writing a JSON error now would inject a second response
-                # into the fixed-length WAV body; abort the connection so
-                # the client sees a short read instead of garbage audio
-                h.close_connection = True
-                with self._lock:
-                    self.stats_counts["failures"] += 1
-                return
+            block = next(stream, None)
+        channels = perf.num_channels
+        sr = int(perf.sample_rate)
+        data_bytes = total * channels * 2
+        h.send_response(200)
+        h.send_header("Content-Type", "audio/wav")
+        h.send_header("Content-Length", str(44 + data_bytes))
+        h.end_headers()
+        h.wfile.write(wav_header_s16(sr, channels, total))
+        sent = 0
+        try:
+            while block is not None:
+                pcm = mixdown_s16_np(block, volume)
+                # WAV interleaves channels per frame
+                h.wfile.write(
+                    np.ascontiguousarray(pcm.T).tobytes())
+                h.wfile.flush()
+                sent += block.shape[1]
+                # hold a render slot only while the device works: the body
+                # write above is paced by the client's TCP window, and a
+                # slow consumer (curl | aplay at 1x realtime) must not pin
+                # one of the few slots for the whole piece
+                with self._render_sem:
+                    block = next(stream, None)
+        except (BrokenPipeError, ConnectionResetError):
+            h.close_connection = True
+            return  # client hung up: stop rendering
+        except Exception:  # noqa: BLE001 — headers are already out:
+            # writing a JSON error now would inject a second response
+            # into the fixed-length WAV body; abort the connection so
+            # the client sees a short read instead of garbage audio
+            h.close_connection = True
+            with self._lock:
+                self.stats_counts["failures"] += 1
+            return
         with self._lock:
             self.stats_counts["renders"] += 1
             self._audio_seconds += sent / float(sr)
@@ -508,19 +490,35 @@ class RenderHTTPServer:
         from ..graph.render import make_stream_step, stream_blocks
 
         key = (name, float(seconds))
-        with self._lock:
-            hit = self._stream_fns.get(key)
-            if hit is not None:
-                self._stream_fns.move_to_end(key)
-        if hit is None:
+        ikey = ("stream", key)
+        # single-flight on the miss: concurrent first requests must share
+        # ONE jitted step object — jax.jit then serializes the compile
+        # internally, so the 19-454 s remote compile is paid once, not per
+        # request (same mechanism as _render_cached's _inflight)
+        while True:
+            with self._lock:
+                hit = self._stream_fns.get(key)
+                if hit is not None:
+                    self._stream_fns.move_to_end(key)
+                    perf, total, step = hit
+                    return perf, total, stream_blocks(
+                        perf, total, step, chunk_size=65536)
+                ev = self._inflight.get(ikey)
+                if ev is None:
+                    self._inflight[ikey] = threading.Event()
+                    break
+                self.stats_counts["coalesced"] += 1
+            ev.wait(timeout=600.0)
+        try:
             perf, total = _build_config(name, seconds)
             step = make_stream_step(perf, chunk_size=65536)
             with self._lock:
                 self._stream_fns[key] = (perf, total, step)
                 while len(self._stream_fns) > self._STREAM_CACHE_ENTRIES:
                     self._stream_fns.popitem(last=False)
-        else:
-            perf, total, step = hit
+        finally:
+            with self._lock:
+                self._inflight.pop(ikey).set()
         return perf, total, stream_blocks(perf, total, step,
                                           chunk_size=65536)
 
@@ -530,7 +528,6 @@ class RenderHTTPServer:
         with result URLs into the response cache."""
         import tempfile
 
-        from ..script.errors import ScriptError
         from .batch import BatchRenderer, RenderJob
 
         body = self._read_json_body(h)
@@ -576,10 +573,10 @@ class RenderHTTPServer:
                     400, f"job {i} needs a \"config\" or \"script\" field")
         with self._render_sem, tempfile.TemporaryDirectory() as out:
             br = BatchRenderer(out_dir=out, chunk_size=65536)
-            try:
-                results = br.run(jobs)
-            except ScriptError as e:
-                raise _BadRequest(400, str(e))
+            # per-job failures (incl. ScriptError from a bad script body)
+            # come back as status="failed" results — the batch contract is
+            # per-job statuses, never a whole-batch 400
+            results = br.run(jobs)
             wavs = {}
             for r in results:
                 if r.status == "ok" and r.wav_path:

@@ -444,17 +444,31 @@ class LiveServer:
                         continue
                     msg = json.loads(line)
                     if msg.get("op") == "restore":
-                        # gate + bound BEFORE buffering the payload: a
-                        # disabled/oversized/negative nbytes must not make
-                        # the server accumulate an attacker-sized buffer or
-                        # desync the line parser
-                        if not self._allow_migration:
-                            raise _ClientError(
-                                "migration disabled (allow_migration)")
+                        # bound BEFORE buffering the payload: an oversized/
+                        # negative nbytes must not make the server accumulate
+                        # an attacker-sized buffer — and the framing past a
+                        # lying header can't be trusted, so disconnect
                         need = int(msg["nbytes"])
                         if not 0 <= need <= 64 << 20:
                             raise _ClientError(
                                 f"restore nbytes out of range: {need}")
+                        if not self._allow_migration:
+                            # consume and DISCARD the bounded payload so the
+                            # line parser stays in sync, then ack the error
+                            # and keep serving this client (nothing is
+                            # accumulated: chunks are dropped as they arrive)
+                            drop = min(len(buf), need)
+                            buf = buf[drop:]
+                            remaining = need - drop
+                            while remaining > 0:
+                                chunk = sock.recv(min(65536, remaining))
+                                if not chunk:
+                                    return
+                                remaining -= len(chunk)
+                            self._send_error(
+                                sock, lane,
+                                "migration disabled (allow_migration)")
+                            continue
                         # binary payload follows the header line (it may
                         # contain newlines — consume it before resuming
                         # line-oriented parsing)
@@ -464,9 +478,16 @@ class LiveServer:
                                 return
                             buf += chunk
                         msg["_blob"], buf = buf[:need], buf[need:]
-                    if self._dispatch(lane, msg):
-                        orderly = True
-                        return  # bye
+                    try:
+                        if self._dispatch(lane, msg):
+                            orderly = True
+                            return  # bye
+                    except _ClientError as e:
+                        # recoverable protocol error (bad part index,
+                        # unknown param, expired token): ack and keep the
+                        # lane alive — a typo'd frame must not tear down a
+                        # live audio stream
+                        self._send_error(sock, lane, str(e))
         except _ClientError as e:
             self._send_error(sock, lane, str(e))
         except (OSError, ValueError, KeyError, IndexError, TypeError) as e:

@@ -138,6 +138,42 @@ class TestRecorder:
             r.record_event(i * 0.001, key=1, down=True)
         assert len(r.events) == MAX_RECORDER_NOTES
 
+    def test_cycle_mode_and_held_key_drain(self):
+        # recorder.zig cycleMode + getNote:107-144: one key cycles
+        # idle -> recording -> playing(loop) -> idle, and every
+        # transition/loop seam first drains held keys as up-events
+        r = Recorder()
+        r.cycle_mode()
+        assert r.poll(0.0) == [] and r.state == "recording"
+        r.record_event(0.1, key=5, down=True)
+        r.track_event(5, True)
+        r.record_event(0.3, key=5, down=False)
+        r.track_event(5, False)
+        r.record_event(0.5, key=7, down=True)
+        r.track_event(7, True)
+        r.cycle_mode()  # recording -> playing; key 7 is still held
+        out = r.poll(1.0)
+        assert out == [(7, False)]  # drained BEFORE playback starts
+        assert r.state == "playing" and r.loop_seconds == 1.0
+        assert r.poll(1.1) == [(5, True)]
+        r.track_event(5, True)
+        assert r.poll(1.3) == [(5, False)]
+        r.track_event(5, False)
+        assert r.poll(1.5) == [(7, True)]
+        r.track_event(7, True)
+        # loop seam at t=1.0: the restart arms the drain but (as in the
+        # reference, getNote:145-151) emits nothing on that call; the
+        # pump's NEXT call pops the held 7
+        assert r.poll(2.0) == []
+        assert r.poll(2.0) == [(7, False)]
+        assert r.poll(2.1) == [(5, True)]
+        r.track_event(5, True)
+        # third cycle press: drain, then off
+        r.cycle_mode()
+        assert r.poll(2.2) == [(5, False)]
+        assert r.state == "idle"
+        assert r.poll(2.3) == []
+
 
 class TestReloadWatcher:
     def test_file_watch_and_udp(self, tmp_path):

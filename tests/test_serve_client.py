@@ -99,6 +99,58 @@ class TestTerminalPlayer:
                 assert player.last_stats["block_time_ms"] > 0
 
 
+class TestKeypressRecorder:
+    """The reference's backquote recorder wired into the client
+    (examples/recorder.zig + example.zig:393-400,486-526): record a
+    keypress performance, then loop it back into the running lane."""
+
+    @staticmethod
+    def wait_state(player, state, timeout=10.0):
+        deadline = time.monotonic() + timeout
+        while player.recorder.state != state:
+            assert time.monotonic() < deadline, (
+                f"recorder never reached {state!r} "
+                f"(at {player.recorder.state!r})")
+            time.sleep(0.01)
+
+    def test_record_then_loop_playback(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, gate=0.1, quiet=True) as player:
+                wait_blocks(player, 2)  # stream flowing
+                player.cycle_recorder()  # idle -> recording
+                self.wait_state(player, "recording")
+                player.press("q")
+                time.sleep(0.2)  # gate auto-release lands and is recorded
+                player.cycle_recorder()  # recording -> loop playback
+                self.wait_state(player, "playing")
+                assert [(k, d) for _, k, d in player.recorder.events] == \
+                    [("q", True), ("q", False)]
+                assert player.recorder.loop_seconds > 0.15
+                # spy on the wire: loop playback must keep feeding key
+                # events into the lane with NO further live input
+                sent = []
+                orig = player.client.send_key
+
+                def spy(part, key, down):
+                    sent.append((key, down))
+                    return orig(part, key, down)
+
+                player.client.send_key = spy
+                deadline = time.monotonic() + 15
+                while sent.count(("q", True)) < 2:
+                    assert time.monotonic() < deadline, sent
+                    time.sleep(0.02)
+                assert ("q", False) in sent  # ups replay too (no stuck notes)
+                player.cycle_recorder()  # playing -> off
+                self.wait_state(player, "idle")
+                time.sleep(0.3)
+                n = len(sent)
+                time.sleep(0.5)
+                assert len(sent) == n  # off means off
+                wait_blocks(player, 5)  # stream still healthy
+
+
 class TestAutoResume:
     def test_stream_continues_after_blip(self):
         """Killing the socket mid-stream triggers reconnect+resume on the
@@ -118,6 +170,48 @@ class TestAutoResume:
                 wait_blocks(player, 10)  # flowing again
                 player.press("z")  # input path works on the new connection
                 wait_blocks(player, 5)
+
+
+class TestAudioSink:
+    """--sink CMD: the local-playback analog of the reference's SDL audio
+    device (example.zig:197-222) — interleaved s16 piped into any player
+    command, with degrade-not-stall backpressure."""
+
+    def test_sink_receives_interleaved_s16(self, tmp_path):
+        out = tmp_path / "sink.raw"
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, gate=0.2, quiet=True,
+                                sink_cmd=f"cat > {out}") as player:
+                player.press("q")
+                wait_blocks(player, 12)
+        data = np.fromfile(str(out), np.int16)
+        assert data.size >= 10 * BLOCK, data.size
+        assert np.abs(data).max() > 1000  # the note is audible in the feed
+
+    def test_stalled_sink_drops_not_stalls(self):
+        # a sink that never reads: once the OS pipe and the bounded
+        # pending buffer fill, audio is dropped and the stream keeps
+        # flowing (at-cap degrade, not a stall)
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, quiet=True,
+                                sink_cmd="sleep 600") as player:
+                wait_blocks(player, 80, timeout=90.0)
+                assert player.sink_dropped_bytes > 0
+
+    def test_dead_sink_disables_cleanly(self):
+        with make_server() as srv:
+            c = LiveClient(srv.host, srv.port)
+            with TerminalPlayer(c, quiet=True,
+                                sink_cmd="head -c 4096 > /dev/null"
+                                ) as player:
+                wait_blocks(player, 30)
+                deadline = time.monotonic() + 30
+                while player._sink is not None:
+                    assert time.monotonic() < deadline, "sink not disabled"
+                    time.sleep(0.02)
+                wait_blocks(player, 10)  # stream unaffected
 
 
 class TestPipeModeCLI:
@@ -231,6 +325,7 @@ class TestVisualPanels:
             PANEL_WIDTH=TerminalPlayer.PANEL_WIDTH,
             PANEL_ROWS=TerminalPlayer.PANEL_ROWS,
         )
+        stub.recorder = SimpleNamespace(state="idle")
         stub._sync_freq = lambda x, sr: TerminalPlayer._sync_freq(stub, x, sr)
         stub._status_line = lambda: TerminalPlayer._status_line(stub)
         return stub

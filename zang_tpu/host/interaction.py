@@ -42,38 +42,67 @@ class Parameter:
         return self.current_value
 
 
-MAX_RECORDER_NOTES = 5000  # recorder.zig:16
+MAX_RECORDER_NOTES = 5000  # recorder.zig:43
+MAX_RECORDER_KEYS_HELD = 50  # recorder.zig:44
 
 
 @dataclass
 class Recorder:
     """Keypress record/loop-playback state machine (recorder.zig:18-170).
 
-    States: idle -> recording (first event starts the clock) -> playing
-    (loops the recorded events with preserved timing).
+    States: idle -> recording -> playing (loops the recorded events with
+    preserved timing) -> idle, cycled by one key (the reference's
+    backquote, example.zig:393-400). As in the reference, every state
+    transition and every loop restart first DRAINS the held keys —
+    key-ups are emitted for everything in keys_held so notes never stick
+    across a mode change or a loop boundary (recorder.zig getNote:107-144).
+    track_event() maintains keys_held for both live and playback events
+    (example.zig:435 + recorderPlayback example.zig:514-526).
     """
 
     state: str = "idle"
-    events: List[Tuple[float, int, bool]] = field(default_factory=list)
+    # key is whatever the host uses (SDL keycode ints in the
+    # reference; key-character strings in the terminal client)
+    events: List[Tuple[float, object, bool]] = field(default_factory=list)
+    keys_held: List[object] = field(default_factory=list)
     _record_start: float = 0.0
     _loop_length: float = 0.0
     _play_start: float = 0.0
     _play_index: int = 0
+    _drain: bool = False
+    _looping: bool = False
 
     def start_recording(self, now: float) -> None:
         self.state = "recording"
         self.events = []
         self._record_start = now
 
-    def record_event(self, now: float, key: int, down: bool) -> bool:
+    def record_event(self, now: float, key, down: bool) -> bool:
         if self.state != "recording":
             return False
         if len(self.events) >= MAX_RECORDER_NOTES:
             return False  # silently full, like the reference
-        if not self.events:
-            self._record_start = now
         self.events.append((now - self._record_start, key, down))
         return True
+
+    def track_event(self, key, down: bool) -> None:
+        """Maintain the held-key set (recorder.zig trackEvent:87-104);
+        call for live AND playback events that the instrument accepted."""
+        if down:
+            if key not in self.keys_held and \
+                    len(self.keys_held) < MAX_RECORDER_KEYS_HELD:
+                self.keys_held.append(key)
+        else:
+            try:
+                self.keys_held.remove(key)
+            except ValueError:
+                pass
+
+    def cycle_mode(self) -> None:
+        """The backquote press (recorder.zig cycleMode:68-70): request a
+        drain; the state transition runs once the drain completes inside
+        the next poll()."""
+        self._drain = True
 
     def start_playing(self, now: float, loop_length: Optional[float] = None) -> None:
         self.state = "playing"
@@ -82,27 +111,57 @@ class Recorder:
         self._loop_length = loop_length
         self._play_start = now
         self._play_index = 0
+        self._looping = False
 
-    def poll(self, now: float) -> List[Tuple[int, bool]]:
-        """Events due at `now`; loops when the loop length elapses."""
-        if self.state != "playing" or not self.events:
-            return []
+    @property
+    def loop_seconds(self) -> float:
+        return self._loop_length
+
+    def _get_note(self, now: float) -> Optional[Tuple[object, bool]]:
+        """One event if due, else None (recorder.zig getNote:106-170)."""
+        if self._drain:
+            if self.keys_held:
+                return (self.keys_held.pop(), False)
+            self._drain = False
+            if self.state == "idle":
+                self.start_recording(now)
+            elif self.state == "recording":
+                self.start_playing(
+                    now, loop_length=now - self._record_start)
+            elif self.state == "playing":
+                if self._looping:  # drain came from a loop restart
+                    self._looping = False
+                else:  # drain came from the user's cycle press
+                    self.state = "idle"
+        if self.state != "playing":
+            return None
+        if now - self._play_start >= self._loop_length:
+            self._play_index = 0
+            self._play_start = now
+            self._looping = True
+            self._drain = True  # drain held keys at the loop seam
+        if self._play_index < len(self.events):
+            t, key, down = self.events[self._play_index]
+            if t <= now - self._play_start:
+                self._play_index += 1
+                return (key, down)
+        return None
+
+    def poll(self, now: float) -> List[Tuple[object, bool]]:
+        """All events due at `now` (the reference host's
+        `while getNote()` pump, example.zig:515); loops when the loop
+        length elapses, draining held keys at each seam."""
         out = []
         while True:
-            t = now - self._play_start
-            if self._play_index < len(self.events) and self.events[self._play_index][0] <= t:
-                _, key, down = self.events[self._play_index]
-                out.append((key, down))
-                self._play_index += 1
-            elif t >= self._loop_length > 0:
-                self._play_start += self._loop_length
-                self._play_index = 0
-            else:
-                break
-        return out
+            n = self._get_note(now)
+            if n is None:
+                return out
+            out.append(n)
 
     def stop(self) -> None:
         self.state = "idle"
+        self._drain = False
+        self._looping = False
 
 
 class ReloadWatcher:

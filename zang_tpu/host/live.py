@@ -283,8 +283,11 @@ class LiveSession:
         # mirror EVERY change into the instrument config (apply_plan_params
         # documents that device-kind values are mirrored too, so an offline
         # plan()/render() of this instance matches the live values) — but
-        # only plan-affecting kinds invalidate the re-plan cache
-        part.instrument.apply_plan_params(part.params.values)
+        # only plan-affecting kinds invalidate the re-plan cache. The method
+        # is optional for instruments whose params are all device-kind.
+        apply = getattr(part.instrument, "apply_plan_params", None)
+        if apply is not None:
+            apply(part.params.values)
         if kinds & {"plan", "both"}:
             part.plan_nonce += 1  # invalidates the full re-plan cache
 

@@ -384,6 +384,29 @@ class JobResult:
     audio: Optional[np.ndarray] = None  # only when out_dir is None
 
 
+def _no_retry(e: BaseException) -> bool:
+    """Validation-class failures are deterministic: retrying a bad script
+    or a malformed request body max_attempts times just burns workers.
+    Retries are for transient device errors only."""
+    if getattr(e, "no_retry", False):
+        return True
+    try:
+        from ..script.errors import ScriptError
+    except Exception:  # pragma: no cover — script package always present
+        return False
+    return isinstance(e, ScriptError)
+
+
+def _format_error(e: BaseException) -> str:
+    """Client-facing failure text: an exception that declares public_error
+    (e.g. the HTTP tier's request-validation error) supplies its own
+    message; internal class names must not leak into API responses."""
+    pub = getattr(e, "public_error", None)
+    if pub:
+        return str(pub)
+    return f"{type(e).__name__}: {e}"
+
+
 class BatchRenderer:
     """Round-robin scheduler: one worker thread per device, jobs from a
     shared queue, failed jobs re-queued up to max_attempts (renders are
@@ -450,14 +473,14 @@ class BatchRenderer:
                     with lock:
                         results[job.name] = res
                 except Exception as e:  # noqa: BLE001 — jobs must not kill workers
-                    if attempt < self.max_attempts:
+                    if attempt < self.max_attempts and not _no_retry(e):
                         q.put((job, attempt + 1))
                     else:
                         with lock:
                             results[job.name] = JobResult(
                                 name=job.name, status="failed",
                                 device=str(dev), attempts=attempt,
-                                error=f"{type(e).__name__}: {e}",
+                                error=_format_error(e),
                             )
                 finally:
                     q.task_done()

@@ -13,8 +13,11 @@ emulated with a gate timer: each press schedules its release --gate
 seconds later, and re-pressing a held key retriggers it (off + on), the
 same impulse sequence the SDL host produced for a physical re-press.
 
-Keys: two-row musical layout plays notes; "`" toggles server-side
-recording (the reference recorder's key); "1" prints serving stats;
+Keys: two-row musical layout plays notes; "`" cycles the keypress
+recorder — record a performance, loop it back into the lane, off
+(examples/recorder.zig semantics, including held-key drains at mode
+changes and loop seams); "~" toggles a server-side WAV take (an
+addition beyond the reference); "1" prints serving stats;
 "2" cycles the live visual (VU bar -> one-line waveform/spectrum/scope
 sparklines -> the full panels); F1-F6 jump straight to the reference's
 visualizer screens (examples/visual.zig:943-1231): F1 help, F2 main
@@ -37,6 +40,8 @@ from typing import Optional
 import numpy as np
 
 from ..core.wav import StreamingWavWriter
+from ..host.interaction import Recorder
+from ..host.keyboard import get_key_rel_freq
 from .server import LiveClient, _send_json
 
 
@@ -56,6 +61,7 @@ class TerminalPlayer:
         wav_path: Optional[str] = None,
         quiet: bool = False,
         auto_resume: Optional[tuple] = None,
+        sink_cmd: Optional[str] = None,
     ) -> None:
         self.client = client
         self.part = int(part)
@@ -81,8 +87,16 @@ class TerminalPlayer:
         self.param_sel = 0
         self._timers = {}  # key -> threading.Timer
         self._rec_pending = False  # record toggle awaiting its ack
-        self._lock = threading.Lock()  # timers + wav writer
+        self._lock = threading.Lock()  # timers + wav writer + recorder
         self._stop = threading.Event()
+        # the reference's backquote keypress recorder (recorder.zig +
+        # example.zig:393-400): record a performance, loop it back into
+        # the lane. Pumped by a dedicated thread (the SDL host pumped it
+        # from its event loop, example.zig:486-526).
+        self.recorder = Recorder()
+        self._rec_thread = threading.Thread(
+            target=self._recorder_pump, daemon=True)
+        self._rec_thread.start()
         self._full_scale = (
             32767.0 if client.welcome["dtype"] == "int16" else 1.0)
         self._wav = None
@@ -90,6 +104,25 @@ class TerminalPlayer:
             self._wav = StreamingWavWriter(
                 wav_path, int(client.welcome["sample_rate"]),
                 num_channels=int(client.welcome["num_channels"]))
+        # local audio sink (the reference host plays through an SDL audio
+        # device, example.zig:197-222; here: pipe interleaved s16 frames
+        # into any player command, e.g. --sink 'aplay -f S16_LE -c 1
+        # -r 48000'). Non-blocking with bounded buffering: a stalled sink
+        # drops audio instead of stalling the reader (the serving tier's
+        # at-cap degrade rule).
+        self._sink = None
+        self._sink_pending = bytearray()
+        self._sink_frame_bytes = 2 * int(client.welcome["num_channels"])
+        self._sink_cap = (int(client.welcome["block_size"])
+                          * self._sink_frame_bytes * 8)
+        self.sink_dropped_bytes = 0
+        if sink_cmd:
+            import subprocess
+            self._sink = subprocess.Popen(
+                sink_cmd, shell=True, stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            import os as _os
+            _os.set_blocking(self._sink.stdin.fileno(), False)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
 
@@ -105,7 +138,9 @@ class TerminalPlayer:
                 if t is not None:
                     t.cancel()
                     self.client.send_key(self.part, key, False)
+                    self._note_event(key, False)
                 self.client.send_key(self.part, key, True)
+                self._note_event(key, True)
             except OSError:
                 return
             timer = threading.Timer(self.gate, self._auto_release, (key,))
@@ -120,6 +155,7 @@ class TerminalPlayer:
                 t.cancel()
                 try:
                     self.client.send_key(self.part, key, False)
+                    self._note_event(key, False)
                 except OSError:
                     pass
 
@@ -128,8 +164,56 @@ class TerminalPlayer:
             if self._timers.pop(key, None) is not None:
                 try:
                     self.client.send_key(self.part, key, False)
+                    self._note_event(key, False)
                 except OSError:
                     pass
+
+    # -- keypress recorder (recorder.zig, the reference's backquote) ---------
+
+    def _note_event(self, key: str, down: bool) -> None:
+        """Feed a live key event to the recorder (example.zig:434-435:
+        only events the instrument accepted — here: layout-mapped keys —
+        are recorded and held-tracked). Caller holds _lock."""
+        if get_key_rel_freq(key) is None:
+            return
+        self.recorder.record_event(time.monotonic(), key, down)
+        self.recorder.track_event(key, down)
+
+    def cycle_recorder(self) -> None:
+        """The backquote press (example.zig:393-400): cycle the keypress
+        recorder idle -> recording -> loop-playback -> off. The state
+        transition (and the held-key drain that precedes it) runs on the
+        pump thread's next poll."""
+        with self._lock:
+            self.recorder.cycle_mode()
+
+    def _recorder_pump(self) -> None:
+        """The reference host's recorderPlayback pump (example.zig:
+        486-526): due playback events feed the lane exactly like live
+        keypresses; every event that lands is held-tracked so loop seams
+        and mode changes can drain it."""
+        last_state = "idle"
+        while not self._stop.is_set():
+            time.sleep(0.01)
+            with self._lock:
+                rec = self.recorder
+                for key, down in rec.poll(time.monotonic()):
+                    try:
+                        self.client.send_key(self.part, key, down)
+                    except OSError:
+                        break  # outage: reader reconnects; events drop
+                    rec.track_event(key, down)
+                state, n, loop_s = (rec.state, len(rec.events),
+                                    rec.loop_seconds)
+            if state != last_state:
+                last_state = state
+                if state == "recording":
+                    self._note("recorder: recording (` again to loop)")
+                elif state == "playing":
+                    self._note(f"recorder: looping {n} events / "
+                               f"{loop_s:.2f}s (` to stop)")
+                else:
+                    self._note("recorder: off")
 
     def toggle_recording(self) -> None:
         """Backquote behavior: start a server-side take, or stop it.
@@ -260,6 +344,8 @@ class TerminalPlayer:
                     with self._lock:
                         if self._wav is not None:
                             self._wav.append(self._to_i16(v))
+                if self._sink is not None:
+                    self._sink_write(self._to_i16(v))
                 now = time.monotonic()
                 if not self.quiet and now - last_vu > 0.1:
                     last_vu = now
@@ -347,6 +433,38 @@ class TerminalPlayer:
             self._note(f"connection dropped — resumed at frame {frame}")
             return True
         return False
+
+    def _sink_write(self, block_i16: np.ndarray) -> None:
+        """Feed [channels, n] s16 to the sink as interleaved frames.
+        Writes are non-blocking; when the sink falls behind, the OLDEST
+        buffered audio is dropped (frame-aligned) so live play stays
+        current — the same degrade-not-stall rule the serving fleet uses.
+        Only the reader thread calls this."""
+        import os as _os
+
+        sink = self._sink
+        if sink is None:
+            return
+        pend = self._sink_pending
+        pend += block_i16.T.tobytes()  # [n, C] -> interleaved
+        if len(pend) > self._sink_cap:
+            drop = len(pend) - self._sink_cap
+            drop -= drop % self._sink_frame_bytes
+            self.sink_dropped_bytes += drop
+            del pend[:drop]
+        try:
+            while pend:
+                n = _os.write(sink.stdin.fileno(), pend)
+                del pend[:n]
+        except BlockingIOError:
+            pass  # sink busy: keep the (bounded) remainder for next block
+        except (BrokenPipeError, OSError, ValueError):
+            self._note("audio sink exited — disabling --sink")
+            self._sink = None
+            try:
+                sink.stdin.close()
+            except OSError:
+                pass
 
     def _to_i16(self, block: np.ndarray) -> np.ndarray:
         if block.dtype == np.int16:
@@ -437,7 +555,8 @@ class TerminalPlayer:
         if mode == "help":
             return [
                 "── help ─ keys ────────────────────────────────",
-                " two-row layout plays notes   ` record   1 stats",
+                " two-row layout plays notes   1 stats",
+                " ` record/loop-playback   ~ WAV take",
                 " 2 cycle visuals   F1 help  F2 main  F3 scope",
                 " F4 full FFT  F5 params (Up/Down select,",
                 " Left/Right step, Backspace randomize)   Esc quit",
@@ -498,6 +617,10 @@ class TerminalPlayer:
 
     def _status_line(self) -> str:
         rec = " REC" if self.recording_file else ""
+        if self.recorder.state == "recording":
+            rec += " `rec"
+        elif self.recorder.state == "playing":
+            rec += " `loop"
         return ("level %5.1f%%  blocks %d%s"
                 % (min(self.level, 1.0) * 100, self.blocks_received, rec))
 
@@ -571,6 +694,16 @@ class TerminalPlayer:
             if self._wav is not None:
                 self._wav.close()
                 self._wav = None
+        sink, self._sink = self._sink, None
+        if sink is not None:
+            try:
+                sink.stdin.close()
+            except OSError:
+                pass
+            try:
+                sink.wait(timeout=2.0)
+            except Exception:
+                sink.terminate()
 
     def __enter__(self):
         return self
@@ -600,10 +733,15 @@ def _stdin_keys():
     ss3_fkeys = {"P": "F1", "Q": "F2", "R": "F3", "S": "F4"}  # xterm SS3
     csi_fkeys = {"11": "F1", "12": "F2", "13": "F3", "14": "F4",
                  "15": "F5", "17": "F6"}  # vt220-style CSI n ~
+    pending = ""  # one-byte pushback: a CSI scan that hits a control byte
+    # (aborted/interleaved sequence) re-processes that byte as a fresh key
     try:
         tty.setcbreak(fd)
         while True:
-            ch = sys.stdin.read(1)
+            if pending:
+                ch, pending = pending, ""
+            else:
+                ch = sys.stdin.read(1)
             if not ch:
                 return
             if ch == "\x1b":
@@ -628,6 +766,15 @@ def _stdin_keys():
                     while True:
                         fin = sys.stdin.read(1)
                         if not fin or "\x40" <= fin <= "\x7e":
+                            break
+                        if not "\x20" <= fin <= "\x3f":
+                            # outside the ECMA-48 parameter/intermediate
+                            # range: an aborted/interleaved sequence (e.g.
+                            # the ESC of the NEXT sequence). Abort this one
+                            # and re-process the byte as a fresh key so it
+                            # is not swallowed into params.
+                            pending = fin
+                            fin = ""
                             break
                         params += fin
                     if fin == "~":
@@ -656,8 +803,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="zang-play",
         description="Play a zang-tpu live server from the terminal "
-                    "(two-row musical keyboard; ` records, 1 = stats, "
-                    "Esc quits)")
+                    "(two-row musical keyboard; ` record/loop-playback, "
+                    "~ WAV take, 1 = stats, Esc quits)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=9800)
     ap.add_argument("--part", type=int, default=0)
@@ -665,6 +812,11 @@ def main(argv=None) -> int:
                     help="seconds a pressed key stays held (terminals have "
                          "no key-up events)")
     ap.add_argument("--wav", help="also capture the stream to a WAV file")
+    ap.add_argument("--sink", metavar="CMD",
+                    help="pipe interleaved s16 audio into a player "
+                         "command's stdin (e.g. 'aplay -f S16_LE -c 1 "
+                         "-r 48000'); a stalled sink drops audio rather "
+                         "than stalling the stream")
     ap.add_argument("--resume", metavar="TOKEN",
                     help="continue a session dropped by a network blip "
                          "(the token printed at connect time)")
@@ -704,14 +856,16 @@ def main(argv=None) -> int:
         print("stdin is not a tty — pipe mode: one key per line "
               "(blank line = quit)", file=sys.stderr)
     with TerminalPlayer(client, part=args.part, gate=args.gate,
-                        wav_path=args.wav,
+                        wav_path=args.wav, sink_cmd=args.sink,
                         auto_resume=(args.host, args.port)) as player:
         try:
             if sys.stdin.isatty():
                 for ch in _stdin_keys():
                     if ch in ("\x1b", "\x03", "\x04"):  # Esc / ^C / ^D
                         break
-                    elif ch == "`":
+                    elif ch == "`":  # the reference's recorder key
+                        player.cycle_recorder()
+                    elif ch == "~":  # shift-backquote: server-side take
                         player.toggle_recording()
                     elif ch == "1":
                         player.request_stats()
@@ -754,6 +908,10 @@ def main(argv=None) -> int:
                         player.param_randomize()
                     elif key in _FKEY_PANELS:
                         player.set_visual(_FKEY_PANELS[key])
+                    elif key == "`":  # recorder cycle, as in tty mode
+                        player.cycle_recorder()
+                    elif key == "~":  # server-side WAV take toggle
+                        player.toggle_recording()
                     else:
                         player.press(key)
                     time.sleep(args.gate)

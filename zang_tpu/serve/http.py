@@ -78,10 +78,19 @@ DEFAULT_NOTES = [
 
 
 class _BadRequest(Exception):
+    # BatchRenderer markers: a validation error is deterministic (never
+    # retried) and its message is already client-facing (the internal
+    # class name must not leak into the API response)
+    no_retry = True
+
     def __init__(self, status: int, message: str):
         self.status = status
         self.message = message
         super().__init__(message)
+
+    @property
+    def public_error(self) -> str:
+        return self.message
 
 
 def _render_example(name: str, seconds: Optional[float], volume: float):
@@ -495,6 +504,7 @@ class RenderHTTPServer:
         # ONE jitted step object — jax.jit then serializes the compile
         # internally, so the 19-454 s remote compile is paid once, not per
         # request (same mechanism as _render_cached's _inflight)
+        counted_coalesced = False
         while True:
             with self._lock:
                 hit = self._stream_fns.get(key)
@@ -507,7 +517,12 @@ class RenderHTTPServer:
                 if ev is None:
                     self._inflight[ikey] = threading.Event()
                     break
-                self.stats_counts["coalesced"] += 1
+                if not counted_coalesced:
+                    # once per REQUEST: a wait timeout loops back here
+                    # (worst-case remote compile 454 s + warmup can exceed
+                    # one 600 s wait) and must not re-count
+                    self.stats_counts["coalesced"] += 1
+                    counted_coalesced = True
             ev.wait(timeout=600.0)
         try:
             perf, total = _build_config(name, seconds)

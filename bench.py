@@ -128,6 +128,32 @@ def _first_run(jrun, args, attempts=4):
             time.sleep(5 * (attempt + 1))
 
 
+_ANCHORS = None
+
+
+def _anchor_note(metric, value):
+    """Compare against the last verified uncontended capture
+    (BENCH_ANCHORS.json) so a dip is self-diagnosing: within ~10% of the
+    anchor is noise; outside it, check the preflight lines for host/tunnel
+    contention before calling it a regression."""
+    global _ANCHORS
+    if _ANCHORS is None:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_ANCHORS.json")) as f:
+                _ANCHORS = json.load(f)
+        except (OSError, ValueError):
+            _ANCHORS = {}
+    a = _ANCHORS.get(metric)
+    if not isinstance(a, dict) or not a.get("value"):
+        return
+    delta = (value - a["value"]) / abs(a["value"])
+    flag = ("" if abs(delta) <= 0.10 else
+            " OUTSIDE 10%: contention (see preflight) or a real regression")
+    print(f"# {metric}: anchor {a['value']} ({a.get('when', '?')}) "
+          f"delta {delta:+.0%}{flag}", file=sys.stderr)
+
+
 def emit(metric, value, unit, vs_baseline):
     print(
         json.dumps(
@@ -140,16 +166,25 @@ def emit(metric, value, unit, vs_baseline):
         ),
         flush=True,
     )
+    _anchor_note(metric, value)
 
 
-def _steady_rtf(run, args, seconds):
+def _spread_note(label, walls):
+    spread = (max(walls) - min(walls)) / min(walls) if min(walls) else 0.0
+    print(f"# {label} walls={['%.2f' % w for w in walls]} "
+          f"spread={spread:.0%}", file=sys.stderr)
+
+
+def _steady_rtf(run, args, seconds, label=""):
     import jax
     import jax.numpy as jnp
 
     jrun = jax.jit(lambda *a: jnp.sum(run(*a)).astype(jnp.float32))
     _first_run(jrun, args)
-    dt = min(_timed(jrun, args) for _ in range(3))  # best-of-3: remote jitter
-    return seconds / dt
+    dts = [_timed(jrun, args) for _ in range(3)]  # best-of-3: remote jitter
+    if label:
+        _spread_note(label, dts)
+    return seconds / min(dts)
 
 
 def bench_sampler(chunk):
@@ -159,7 +194,7 @@ def bench_sampler(chunk):
     seconds = float(os.environ.get("ZANG_BENCH_SAMPLER_SECONDS", 60.0))
     perf, total = build_sampler_performance(seconds=seconds)
     run, args = make_render_fn(perf, total, chunk_size=min(chunk, total))
-    rtf = _steady_rtf(run, args, seconds)
+    rtf = _steady_rtf(run, args, seconds, label="bench_sampler")
     emit("sampler_chain_rtf_44k", round(rtf, 1), "x_realtime", round(rtf / 1000.0, 3))
 
 
@@ -172,7 +207,7 @@ def bench_poly(chunk):
     chunk = int(os.environ.get("ZANG_BENCH_POLY_CHUNK", chunk))
     perf, total = build_poly_echo_performance(num_voices=voices, seconds=seconds)
     run, args = make_render_fn(perf, total, chunk_size=min(chunk, total))
-    rtf = _steady_rtf(run, args, seconds)
+    rtf = _steady_rtf(run, args, seconds, label="bench_poly")
     capacity = int(voices * rtf)
     emit(
         "poly_echo_voices_per_chip",
@@ -219,9 +254,7 @@ def bench_serve(chunk):
                 [r.error for r in results]
     audio = sum(r.seconds for r in results if r.status == "ok")
     rtf = audio / min(walls)
-    spread = (max(walls) - min(walls)) / min(walls)
-    print(f"# bench_serve walls={['%.1f' % w for w in walls]} "
-          f"spread={spread:.0%}", file=sys.stderr)
+    _spread_note("bench_serve", walls)
     emit("batch_serve_rtf_aggregate", round(rtf, 1), "x_realtime_wav_delivery",
          round(rtf, 1))
 
@@ -259,6 +292,7 @@ def bench_fleet():
         times.append(time.time() - t0)
     # best-of, like _steady_rtf: remote-tunnel jitter (per-call RTT swings
     # of 1.5-2x run to run) is not part of the chip's steady-state capacity
+    _spread_note("bench_fleet", times)
     bt = float(np.min(times))
     sessions = lanes * (block / sr) / bt
     emit("live_fleet_sessions_per_chip", round(sessions, 1),
@@ -292,7 +326,7 @@ def bench_song(seconds, chunk):
     total = int(seconds * sm.SAMPLE_RATE)
     perf = sm.build_performance(total)
     run, args = make_render_fn(perf, total, chunk_size=min(chunk, total))
-    rtf = _steady_rtf(run, args, seconds)
+    rtf = _steady_rtf(run, args, seconds, label="bench_song")
     emit(
         "bach_toccata_render_rtf_48k",
         round(rtf, 1),
@@ -301,8 +335,45 @@ def bench_song(seconds, chunk):
     )
 
 
+def _preflight():
+    """Record the capture conditions (host load, tunnel dispatch latency)
+    so a contended run is self-diagnosing: the r03 driver capture showed an
+    across-the-board dip with 15% wall spread that took a bisect to clear —
+    these lines make that call from the output alone."""
+    import jax
+    import jax.numpy as jnp
+
+    ncpu = os.cpu_count() or 1
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = -1.0
+    f = jax.jit(lambda x: jnp.sum(x * jnp.float32(2.0)))
+    x = jnp.ones((256, 256), jnp.float32)
+    _first_run(f, (x,))
+    lats = [_timed(f, (x,)) for _ in range(5)]
+    ms = [v * 1e3 for v in lats]
+    spread = (max(lats) - min(lats)) / min(lats)
+    print(f"# preflight host_load1={load1:.2f} ncpu={ncpu} "
+          f"dispatch_ms min={min(ms):.1f} max={max(ms):.1f} "
+          f"spread={spread:.0%} backend={jax.default_backend()}",
+          file=sys.stderr)
+    if load1 > 0.75 * ncpu:
+        print("# preflight WARNING: host already loaded — serve/fleet "
+              "metrics are host+tunnel-bound and will read LOW under "
+              "contention; serialize against other work and rerun",
+              file=sys.stderr)
+    if spread > 0.5 and min(ms) > 2.0:
+        # sub-ms local dispatches jitter wildly in relative terms but are
+        # irrelevant; only flag instability on a real (remote) dispatch floor
+        print("# preflight WARNING: tunnel dispatch latency is unstable "
+              "(>50% spread) — expect noisy walls; best-of-N mitigates "
+              "but does not remove this", file=sys.stderr)
+
+
 def main():
     _probe_device()
+    _preflight()
 
     from zang_tpu.host import song as sm
 

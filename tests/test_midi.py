@@ -268,3 +268,90 @@ class TestRender:
             render_midi(data, lambda pi, label: built.append(pi),
                         group="track", max_events=30)
         assert built == []
+
+
+class TestLiveReplay:
+    """zang-midi --live: an SMF replayed block-by-block into a LiveServer
+    lane over the raw-event wire op (host/midi.py replay_live)."""
+
+    def test_replay_into_live_server(self):
+        import time
+
+        from zang_tpu.host import instruments as ti
+        from zang_tpu.host.midi import replay_live
+        from zang_tpu.serve.client import TerminalPlayer
+        from zang_tpu.serve.server import LiveClient, LiveServer
+
+        # two channels -> two parts; an overlapping pair on channel 0
+        data = smf([
+            tempo(0, 500_000)
+            + note_on(0, 60, ch=0) + note_on(240, 64, ch=0)
+            + note_off(240, 60, ch=0) + note_off(240, 64, ch=0),
+            note_on(120, 48, ch=1) + note_off(480, 48, ch=1),
+        ])
+        srv = LiveServer(
+            lambda: [(ti.NiceInstrument(0.3), 3), (ti.HardSquareInstrument(), 2)],
+            48000.0, port=0, initial_lanes=1, realtime=False,
+            block_size=1024)
+        with srv:
+            c = LiveClient(srv.host, srv.port)
+            assert c.welcome["num_parts"] == 2
+            with TerminalPlayer(c, quiet=True) as player:
+                deadline = time.monotonic() + 120
+                while (player.blocks_received == 0
+                       and time.monotonic() < deadline):
+                    time.sleep(0.02)
+                assert player.blocks_received > 0, "stream never started"
+
+                class _Locked:
+                    welcome = c.welcome
+
+                    @staticmethod
+                    def send_event(part, params, note_id=None):
+                        with player._lock:
+                            player.client.send_event(part, params,
+                                                     note_id=note_id)
+
+                n = replay_live(data, _Locked(), rate=8.0)
+                assert n == 6  # 3 on/off pairs
+                # the replayed notes are audible in the returned stream
+                deadline = time.monotonic() + 60
+                heard = 0.0
+                while time.monotonic() < deadline and heard < 0.01:
+                    heard = max(heard, player.level)
+                    time.sleep(0.02)
+                assert heard > 0.01, heard
+
+    def test_replay_event_order_and_parts(self):
+        """Pure pacing/mapping: events arrive chronologically, groups cycle
+        over num_parts, numpy params are JSON-plain."""
+        import json
+
+        from zang_tpu.host.midi import replay_live
+
+        data = smf([
+            note_on(0, 60, ch=0) + note_off(240, 60, ch=0),
+            note_on(0, 50, ch=1) + note_off(480, 50, ch=1),
+            note_on(0, 40, ch=2) + note_off(480, 40, ch=2),
+        ])
+        sent = []
+
+        class FakeClient:
+            welcome = {"num_parts": 2}
+
+            @staticmethod
+            def send_event(part, params, note_id=None):
+                json.dumps(params)  # must be wire-serializable
+                sent.append((part, params, note_id))
+
+        clock = [0.0]
+        n = replay_live(data, FakeClient(), rate=4.0,
+                        now=lambda: clock[0],
+                        sleep=lambda dt: clock.__setitem__(0, clock[0] + dt))
+        assert n == len(sent) == 6
+        # three channel groups cycle over two parts: ch0->0, ch1->1, ch2->0
+        assert {p for p, _, _ in sent} == {0, 1}
+        ons = [(p, prm["freq"]) for p, prm, _ in sent if prm["note_on"]]
+        assert len(ons) == 3
+        # wall clock advanced to the last event's scaled time
+        assert clock[0] > 0.0

@@ -344,6 +344,55 @@ class ScriptGen:
         return "\n".join(parts)
 
 
+class ScriptGenWild(ScriptGen):
+    """Tier-2 generator: the UNRESTRICTED well-typed grammar.
+
+    Everything tier 1 deliberately excludes is in here: module outputs
+    (filters, distortion, decimators, delays) feeding oscillator freq,
+    division by buffers, multiple Noise sites, polyphony up to 4. The
+    parity budget is accordingly loose (TIER2_BUDGET_DBFS): once module
+    outputs drive freq, ulp-level formulation differences legitimately
+    phase-accumulate to tens of dB (FIDELITY.md), so this tier is a
+    GROSS-miscompile detector — exactly the class of bug (wrong signal
+    routed, wrong path chosen, wrong scale) the round-3 fuzz caught
+    inside its envelope.
+    """
+
+    NOISE_BUDGET = 3  # one threefry stream per call site, oracle-injected
+
+    def __init__(self, rng: random.Random) -> None:
+        super().__init__(rng)
+        self.noise_budget = self.NOISE_BUDGET
+
+    def freq_expr(self, depth):
+        r = self.rng.random()
+        if depth > 0 and r < 0.30:
+            # module-output -> freq: the excluded region where the
+            # round-3 TriSawOsc buffer-freq miscompile lived
+            sig = self.let(self.signal_expr(depth - 1))
+            scale = self.const(20.0, 90.0, 1)
+            off = self.const(220.0, 700.0, 1)
+            return f"({sig} * {scale} + {off})"
+        if depth > 0 and r < 0.45:  # arbitrary-signal vibrato
+            sig = self.let(self.signal_expr(depth - 1))
+            return f"freq * (1 + {self.const(0.005, 0.05)} * {sig})"
+        return super().freq_expr(depth)
+
+    def signal_expr(self, depth):
+        if depth > 0 and self.noise_budget > 0 and self.rng.random() < 0.25:
+            self.noise_budget -= 1
+            return (f"(Noise(color=.white) * "
+                    f"{self.let(self.control_expr(0))})")
+        if depth > 0 and self.rng.random() < 0.12:
+            # buffer division (tier 1 divides by constants only); the
+            # denominator is a control signal kept away from zero so a
+            # correct engine can't blow the budget on x/eps noise
+            num = self.signal_expr(depth - 1)
+            den = self.let(self.control_expr(0))
+            return f"(({num}) / ({den} * 0.5 + {self.const(0.8, 1.5)}))"
+        return super().signal_expr(depth)
+
+
 def _fuzz_song(rng: random.Random):
     from zang_tpu.core.notes import SongEvent
 
@@ -376,12 +425,16 @@ def _noise_sites(ops):
 
 
 def _engine_noise_tapes(inst, polyphony: int, total: int, chunk: int):
-    """Reproduce the engine's positional white tape per subvoice.
+    """Reproduce the engine's positional white tape(s) per subvoice.
 
     Mirrors script/jax_backend.py exec_op "noise": per chunk c the tape is
     uniform[0,1) from fold_in(PRNGKey(crc32(site)), c*chunk), shape
     [V, chunk] — threefry is platform-deterministic, so the host draw
     matches the device draw bit-for-bit.
+
+    Returns None (no Noise), [V][total] (one site: legacy shared-tape
+    shape), or [V][S][total] (multi-site: one tape per call site, in plan
+    order == the oracle's Noise-field construction order).
     """
     import zlib
 
@@ -392,19 +445,27 @@ def _engine_noise_tapes(inst, polyphony: int, total: int, chunk: int):
     sites = _noise_sites(inst._ir["ops"])
     if not sites:
         return None
-    assert len(sites) == 1, f"fuzz scripts emit at most one Noise: {sites}"
-    key0 = jax.random.PRNGKey(zlib.crc32(sites[0].encode()) & 0x7FFFFFFF)
-    cols = []
-    for c in range(-(-total // chunk)):
-        key = jax.random.fold_in(key0, c * chunk)
-        cols.append(np.asarray(
-            jax.random.uniform(key, (polyphony, chunk), dtype=jnp.float32)))
-    tape = np.concatenate(cols, axis=1)[:, :total]
-    return [tape[v] for v in range(polyphony)]
+
+    def site_tape(site):
+        key0 = jax.random.PRNGKey(zlib.crc32(site.encode()) & 0x7FFFFFFF)
+        cols = []
+        for c in range(-(-total // chunk)):
+            key = jax.random.fold_in(key0, c * chunk)
+            cols.append(np.asarray(jax.random.uniform(
+                key, (polyphony, chunk), dtype=jnp.float32)))
+        return np.concatenate(cols, axis=1)[:, :total]
+
+    if len(sites) == 1:
+        tape = site_tape(sites[0])
+        return [tape[v] for v in range(polyphony)]
+    tapes = [site_tape(s) for s in sites]
+    return [[t[v] for t in tapes] for v in range(polyphony)]
 
 
-def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
-    """Returns (rms_dbfs deviation, script source)."""
+def _run_differential(src: str, song, polyphony: int, seconds: float,
+                      sr: float = 44100.0):
+    """Render `src` through the engine and the oracle interpreter with the
+    same song/polyphony; returns (deviation dBFS, oracle rms)."""
     import numpy as np
 
     from zang_tpu.core.timeline import compile_timelines
@@ -412,13 +473,7 @@ def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
     from zang_tpu.oracle.script import render_script_oracle
     from zang_tpu.script.jax_backend import ScriptInstrument
 
-    rng = random.Random(777000 + seed)
-    gen = ScriptGen(rng)
-    gen.allow_noise = rng.random() < 0.5
-    src = gen.script()
     total = int(seconds * sr)
-    song = _fuzz_song(rng)
-    polyphony = rng.choice([1, 1, 2])
     cs = compile_script(src)
     inst = ScriptInstrument(cs, "Root")
     tls = compile_timelines(song, polyphony, sr, total)
@@ -434,10 +489,88 @@ def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
     d = (a - b).astype(np.float64)
     ref = float(np.sqrt(np.mean(b.astype(np.float64) ** 2)))
     dev = 20.0 * np.log10(float(np.sqrt(np.mean(d * d))) + 1e-30)
+    return dev, ref
+
+
+def run_differential_seed(seed: int, seconds: float = 1.2, sr: float = 44100.0):
+    """Returns (rms_dbfs deviation, oracle rms, script source)."""
+    rng = random.Random(777000 + seed)
+    gen = ScriptGen(rng)
+    gen.allow_noise = rng.random() < 0.5
+    src = gen.script()
+    song = _fuzz_song(rng)
+    polyphony = rng.choice([1, 1, 2])
+    dev, ref = _run_differential(src, song, polyphony, seconds, sr)
     return dev, ref, src
 
 
+def run_differential_seed_tier2(seed: int, seconds: float = 1.0,
+                                sr: float = 44100.0):
+    """Tier 2: unrestricted grammar, polyphony up to 4, loose budget.
+    Returns (dev, ref, src, song, polyphony) — song/polyphony come back so
+    a failure can re-run exact repros through the minimizer."""
+    rng = random.Random(888000 + seed)
+    gen = ScriptGenWild(rng)
+    src = gen.script()
+    polyphony = rng.choice([1, 2, 3, 4])
+    song = _fuzz_song_wild(rng, polyphony)
+    dev, ref = _run_differential(src, song, polyphony, seconds, sr)
+    return dev, ref, src, song, polyphony
+
+
+def _fuzz_song_wild(rng: random.Random, polyphony: int):
+    """Denser songs: long overlapping notes actually exercise 3-4 voice
+    polyphony (and the dispatcher's steal path when overlap exceeds it)."""
+    from zang_tpu.core.notes import SongEvent
+
+    events = []
+    t = 0.05
+    nid = 1
+    for _ in range(rng.randrange(3, 7)):
+        freq = rng.uniform(80.0, 900.0)
+        dur = rng.uniform(0.15, 0.6)
+        events.append((t, nid, {"freq": freq, "note_on": True}))
+        events.append((t + dur, nid, {"freq": freq, "note_on": False}))
+        nid += 1
+        t += rng.uniform(0.04, 0.2)
+    events.sort(key=lambda e: (e[0], e[1]))
+    return [SongEvent(p, tt, n) for tt, n, p in events]
+
+
+def minimize_failing_script(src: str, still_fails) -> str:
+    """Greedy shrink for red seeds: replace let bindings with `1.0` one at
+    a time while the script still fails, to fixpoint. still_fails(src) must
+    return True when the candidate still reproduces (compile errors count
+    as 'no'). The result prints as a small actionable repro."""
+    lines = src.split("\n")
+    changed = True
+    while changed:
+        changed = False
+        for i, ln in enumerate(lines):
+            s = ln.strip()
+            if "=" not in s:
+                continue
+            name = s.split("=", 1)[0].strip()
+            if not (name.startswith("a") and name[1:].isdigit()):
+                continue
+            if s.split("=", 1)[1].strip() == "1.0":
+                continue
+            cand = list(lines)
+            indent = ln[: len(ln) - len(ln.lstrip())]
+            cand[i] = f"{indent}{name} = 1.0"
+            try:
+                ok = still_fails("\n".join(cand))
+            except Exception:  # noqa: BLE001 — a broken candidate is a 'no'
+                ok = False
+            if ok:
+                lines = cand
+                changed = True
+    return "\n".join(lines)
+
+
 FUZZ_SEEDS = int(os.environ.get("ZANG_FUZZ_SEEDS", "24"))
+FUZZ2_SEEDS = int(os.environ.get("ZANG_FUZZ2_SEEDS", "24"))
+TIER2_BUDGET_DBFS = -50.0  # gross-miscompile detector (see ScriptGenWild)
 
 
 @pytest.mark.slow
@@ -451,8 +584,29 @@ class TestDifferential:
             f"{src}")
 
 
+@pytest.mark.slow
+class TestDifferentialWild:
+    @pytest.mark.parametrize("seed", range(FUZZ2_SEEDS))
+    def test_unrestricted_script_parity(self, seed):
+        dev, ref, src, song, polyphony = run_differential_seed_tier2(seed)
+        if ref > 1e-5 and dev < TIER2_BUDGET_DBFS:
+            return
+
+        def still_fails(s: str) -> bool:
+            d, r = _run_differential(s, song, polyphony, seconds=1.0)
+            return r <= 1e-5 or d >= TIER2_BUDGET_DBFS
+
+        small = minimize_failing_script(src, still_fails)
+        raise AssertionError(
+            f"seed {seed}: engine vs oracle {dev:.1f} dBFS "
+            f"(oracle rms {ref:.3g}, polyphony {polyphony})\n"
+            f"--- minimized repro ---\n{small}\n--- original ---\n{src}")
+
+
 if __name__ == "__main__":
-    # manual deep sweep: ZANG_FUZZ_SEEDS=200 python tests/test_script_fuzz.py
+    # manual deep sweeps:
+    #   ZANG_FUZZ_SEEDS=200 ZANG_FUZZ2_SEEDS=0 python tests/test_script_fuzz.py
+    #   ZANG_FUZZ_SEEDS=0 ZANG_FUZZ2_SEEDS=200 python tests/test_script_fuzz.py
     import sys
 
     bad = 0
@@ -467,5 +621,18 @@ if __name__ == "__main__":
         except Exception as e:  # noqa: BLE001 — sweep reporter
             bad += 1
             print(f"seed {s}: ERROR {type(e).__name__}: {e}")
+        sys.stdout.flush()
+    for s in range(FUZZ2_SEEDS):
+        try:
+            dev, ref, src, song, poly = run_differential_seed_tier2(s)
+            ok = dev < TIER2_BUDGET_DBFS and ref > 1e-5
+            if not ok:
+                bad += 1
+                print(f"--- tier2 seed {s} script (poly {poly}) ---\n{src}")
+            print(f"tier2 seed {s}: {'ok ' if ok else 'BAD'} "
+                  f"dev {dev:.1f} dBFS ref {ref:.3g} poly {poly}")
+        except Exception as e:  # noqa: BLE001 — sweep reporter
+            bad += 1
+            print(f"tier2 seed {s}: ERROR {type(e).__name__}: {e}")
         sys.stdout.flush()
     sys.exit(1 if bad else 0)

@@ -55,9 +55,19 @@ def _simple_song(notes: List[Tuple[float, float, float]], extra=None):
     return song
 
 
+# Render chunk for every example config. Module-level so tests can override
+# it and prove chunk-invariance of the engine's cross-chunk state carry
+# (tests/test_examples_golden.py long-horizon sweep). NOTE: white noise is
+# chunk-keyed BY DESIGN (jax_backend "noise" folds in the chunk start frame),
+# so noise-bearing configs re-derive rather than stay invariant.
+DEFAULT_CHUNK = 16384
+
+
 def _render_script(src, name, song, seconds, sr=44100.0, polyphony=1,
-                   chunk=16384, param_map=None, backend="tpu"):
+                   chunk=None, param_map=None, backend="tpu"):
     total = int(seconds * sr)
+    if chunk is None:
+        chunk = DEFAULT_CHUNK
     cs = compile_script(src)
     if backend == "oracle":
         from ..oracle.script import render_script_oracle
@@ -95,9 +105,11 @@ def _oracle_twin_part(inst, tls):
 
 
 def _render_parts(parts, seconds, sr, num_channels=1, post_fn=None,
-                  post_init=None, chunk=16384, backend="tpu",
+                  post_init=None, chunk=None, backend="tpu",
                   oracle_parts=None, oracle_post=None):
     total = int(seconds * sr)
+    if chunk is None:
+        chunk = DEFAULT_CHUNK
     if backend == "oracle":
         from ..oracle import examples as oex
 
@@ -435,7 +447,7 @@ def ex_stereo(seconds=6.0, backend="tpu"):
     if backend == "oracle":
         from ..oracle import examples as oex
 
-        return oex.render_stereo_noise(total, sr, chunk=16384), sr
+        return oex.render_stereo_noise(total, sr, chunk=DEFAULT_CHUNK), sr
     song = _simple_song([(0.0, seconds, 1.0)])
     tls = compile_timelines(song, 1, sr, total)
     return _render_parts([(_StereoNoise(), tls)], seconds, sr, num_channels=2)
@@ -518,7 +530,7 @@ def ex_detuned(seconds=5.0, backend="tpu"):
     def oracle_parts():
         from ..oracle import examples as oex
 
-        warble = oex.detuned_warble(len(tls), total, sr, chunk=16384)
+        warble = oex.detuned_warble(len(tls), total, sr, chunk=DEFAULT_CHUNK)
         return [(lambda v: oex.DetunedTwin(warble[v], sr),
                  oex.std_params, 2, tls)]
 
@@ -686,7 +698,7 @@ def ex_fmsynth(seconds=4.0, backend="tpu"):
         return [(lambda v: oex.FMSynthTwin(inst.mod, inst.car, inst.algorithm),
                  oex.std_params, 1, tls)]
 
-    return _render_parts([(inst, tls)], seconds, sr, chunk=16384,
+    return _render_parts([(inst, tls)], seconds, sr,
                          backend=backend, oracle_parts=oracle_parts)
 
 
@@ -704,7 +716,8 @@ def ex_sampler(seconds=6.0, backend="tpu"):
 
         return oex.render_sampler_chain(seconds)[None, :], 44100.0
     perf, total = build_sampler_performance(seconds=seconds)
-    return render_performance(perf, total, chunk_size=16384), perf.sample_rate
+    return render_performance(perf, total,
+                              chunk_size=DEFAULT_CHUNK), perf.sample_rate
 
 
 # ---------------------------------------------------------------------------
@@ -836,14 +849,16 @@ def ex_script_runtime(seconds=6.0, backend="tpu"):
         live = LiveScript(path, "DemoSynth")
         assert live.ok, live.error
         first = render_performance(
-            Performance([(live.instrument, tls)], sr), total, chunk_size=16384)
+            Performance([(live.instrument, tls)], sr), total,
+            chunk_size=DEFAULT_CHUNK)
         # edit: brighter pulse + faster release, then hot-reload
         with open(path, "w") as f:
             f.write(DEMO_SCRIPT.replace("color=0.3", "color=0.5")
                     .replace(".cubed(0.6)", ".cubed(0.2)"))
         assert live.maybe_reload() and live.ok, live.error
         second = render_performance(
-            Performance([(live.instrument, tls)], sr), total, chunk_size=16384)
+            Performance([(live.instrument, tls)], sr), total,
+            chunk_size=DEFAULT_CHUNK)
     finally:
         os.unlink(path)
     return np.concatenate([first, second], axis=-1), sr
@@ -854,6 +869,11 @@ def ex_script_runtime(seconds=6.0, backend="tpu"):
 # Bach Toccata. Full 385 s render is the bench; this entry renders a slice.
 
 
+# the song's measured-optimal render chunk (CLAUDE.md perf journal);
+# module-level like DEFAULT_CHUNK so the chunk-invariance sweep can vary it
+SONG_CHUNK = 65536
+
+
 def ex_song(seconds=20.0, backend="tpu"):
     from ..graph.render import render_performance as rp
     from . import song as sm
@@ -862,7 +882,7 @@ def ex_song(seconds=20.0, backend="tpu"):
         return np.atleast_2d(sm.render_song_oracle(seconds)), float(sm.SAMPLE_RATE)
     total = int(seconds * sm.SAMPLE_RATE)
     perf = sm.build_performance(total)
-    return rp(perf, total, chunk_size=65536), float(sm.SAMPLE_RATE)
+    return rp(perf, total, chunk_size=SONG_CHUNK), float(sm.SAMPLE_RATE)
 
 
 # ---------------------------------------------------------------------------

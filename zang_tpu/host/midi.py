@@ -373,6 +373,57 @@ def _instrument_maker(name: str, allow_script: bool = True):
         f"zangscript FILE.txt[:Module]")
 
 
+def replay_live(
+    data: bytes,
+    client,
+    rate: float = 1.0,
+    group: str = "channel",
+    include_velocity: bool = False,
+    transpose: int = 0,
+    skip_channels: Tuple[int, ...] = (9,),
+    now=None,
+    sleep=None,
+) -> int:
+    """Replay an SMF in wall-clock time into a live server lane.
+
+    Beyond the reference (whose only live input is the SDL keyboard):
+    the file's note events go over the existing raw-event wire op
+    ({"op": "event"} with explicit note_id pairing — serve/server.py),
+    so velocity rides along as a note param when include_velocity and the
+    lane hears the exact event stream the offline renderer would compile.
+    Channel/track groups cycle over the lane instrument's parts (the
+    welcome frame's num_parts). `rate` scales playback speed (tests replay
+    fast); returns the number of events sent.
+    """
+    import time as _time
+
+    now = now or _time.monotonic
+    sleep = sleep or _time.sleep
+    parts = midi_songs(data, group=group, include_velocity=include_velocity,
+                       transpose=transpose, skip_channels=skip_channels)
+    nparts = max(1, int(client.welcome.get("num_parts", 1)))
+    stream = []
+    for gi, (_label, song, _poly) in enumerate(parts):
+        p = gi % nparts
+        for ev in song:
+            # JSON wire: numpy scalars -> plain floats
+            params = {k: (bool(v) if isinstance(v, (bool, np.bool_)) else
+                          float(v))
+                      for k, v in ev.params.items()}
+            stream.append((float(ev.t), ev.note_id, p, params))
+    # merged parts stay chronological; same-instant events keep note_id
+    # order, which puts each off (old, smaller id) before the on that
+    # replaces it — the tracker-column pairing midi_songs encodes
+    stream.sort(key=lambda e: (e[0], e[1]))
+    t0 = now()
+    for t, nid, p, params in stream:
+        dt = t / rate - (now() - t0)
+        if dt > 0:
+            sleep(dt)
+        client.send_event(p, params, note_id=nid)
+    return len(stream)
+
+
 def main(argv=None) -> int:
     """CLI: python -m zang_tpu.host.midi song.mid out.wav [options]"""
     import argparse
@@ -384,12 +435,30 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="zang-midi",
         description="Render a Standard MIDI File to WAV with the stock "
-                    "instruments (or a zangscript synth).")
+                    "instruments (or a zangscript synth), or replay it "
+                    "live into a running zang-serve server (--live).")
     ap.add_argument("midi")
-    ap.add_argument("output")
-    ap.add_argument("--instrument", default="nice",
-                    help="instrument name, or a comma list cycled over "
-                         "parts (see zang-serve's menu), or SCRIPT.txt[:Module]")
+    ap.add_argument("output", nargs="?",
+                    help="output WAV (offline mode; omit with --live)")
+    ap.add_argument("--instrument", default=None,
+                    help="offline: instrument name, a comma list cycled "
+                         "over parts, or SCRIPT.txt[:Module] (default "
+                         "nice); live: the server-menu instrument to "
+                         "attach to (default: the server's default)")
+    ap.add_argument("--live", action="store_true",
+                    help="replay into a live server in wall-clock time "
+                         "instead of rendering offline")
+    ap.add_argument("--host", default="127.0.0.1", help="live server host")
+    ap.add_argument("--port", type=int, default=9800, help="live server port")
+    ap.add_argument("--rate", type=float, default=1.0,
+                    help="live playback speed multiplier")
+    ap.add_argument("--wav", help="live: capture the returned stream to WAV")
+    ap.add_argument("--sink", metavar="CMD",
+                    help="live: pipe audio into a player command's stdin "
+                         "(see zang-play --sink)")
+    ap.add_argument("--tail", type=float, default=1.5,
+                    help="live: seconds to keep draining after the last "
+                         "event (release tails)")
     ap.add_argument("--group", choices=["channel", "track"],
                     default="channel")
     ap.add_argument("--sample-rate", type=float, default=48000.0)
@@ -405,14 +474,19 @@ def main(argv=None) -> int:
     ap.add_argument("--volume", type=float, default=0.25)
     args = ap.parse_args(argv)
 
+    with open(args.midi, "rb") as f:
+        data = f.read()
+
+    if args.live:
+        return _main_live(args, data)
+    if not args.output:
+        ap.error("output WAV is required without --live")
+
     from ..core.mixdown import mixdown_s16_np
     from ..core.wav import write_wav_s16
 
     makers = [_instrument_maker(name.strip())
-              for name in args.instrument.split(",")]
-
-    with open(args.midi, "rb") as f:
-        data = f.read()
+              for name in (args.instrument or "nice").split(",")]
     audio = render_midi(
         data, lambda pi, label: makers[pi % len(makers)](),
         sample_rate=args.sample_rate, seconds=args.seconds,
@@ -423,6 +497,53 @@ def main(argv=None) -> int:
     write_wav_s16(args.output, pcm.reshape(-1), int(args.sample_rate), 1)
     print(f"{args.output}: {audio.shape[-1] / args.sample_rate:.2f}s "
           f"at {int(args.sample_rate)} Hz")
+    return 0
+
+
+def _main_live(args, data: bytes) -> int:
+    """--live: attach a lane, drain+capture its stream with TerminalPlayer,
+    and pace the SMF's events into it (replay_live)."""
+    import sys
+    import time
+
+    from ..serve.client import TerminalPlayer
+    from ..serve.server import LiveClient
+
+    client = LiveClient(args.host, args.port, instrument=args.instrument)
+    w = client.welcome
+    print(f"lane {w['lane']} @ {args.host}:{args.port}  "
+          f"{w.get('num_parts', 1)} part(s), block {w['block_size']} / "
+          f"{w['sample_rate']:.0f} Hz", file=sys.stderr)
+    with TerminalPlayer(client, quiet=True, wav_path=args.wav,
+                        sink_cmd=args.sink,
+                        auto_resume=(args.host, args.port)) as player:
+        # wait for the stream (a cold server's first-block jit compile can
+        # take tens of seconds) so the first notes land in flowing audio
+        deadline = time.monotonic() + 300
+        while (player.blocks_received == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+
+        class _LockedSender:
+            """Serialize event writes with the player's own socket writers
+            (gate timers, recorder pump) and survive a mid-replay resume
+            (player.client is swapped under the same lock)."""
+
+            welcome = w
+
+            @staticmethod
+            def send_event(part, params, note_id=None):
+                with player._lock:
+                    player.client.send_event(part, params, note_id=note_id)
+
+        n = replay_live(
+            data, _LockedSender(), rate=args.rate, group=args.group,
+            include_velocity=args.velocity, transpose=args.transpose,
+            skip_channels=() if args.with_drums else (9,))
+        time.sleep(max(0.0, args.tail))
+    print(f"replayed {n} events "
+          f"({player.blocks_received} blocks back"
+          f"{', wav ' + args.wav if args.wav else ''})", file=sys.stderr)
     return 0
 
 

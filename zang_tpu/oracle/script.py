@@ -68,6 +68,23 @@ def _enum_to_param(enum_name: str, label: str, payload: Optional[float]):
     return label  # FilterType/DistortionType/NoiseColor/InterpolationFunction
 
 
+class NoiseTapeFactory:
+    """Per-site positional tape hooks: each Noise field constructed in the
+    module tree draws the NEXT hook, in construction order — matching the
+    engine's per-call-site threefry streams (jax_backend exec_op "noise"
+    keys each site separately). Used by the multi-site differential fuzz;
+    a plain callable noise_tape still means one shared tape."""
+
+    def __init__(self, make_fn) -> None:
+        self.make_fn = make_fn  # site ordinal -> tape_span_fn
+        self.count = 0
+
+    def next_fn(self):
+        fn = self.make_fn(self.count)
+        self.count += 1
+        return fn
+
+
 class OracleScriptModule:
     """A compiled script module as an oracle paint-protocol module.
 
@@ -104,7 +121,10 @@ class OracleScriptModule:
                         f"{sub.builtin_name!r} (user-registered builtins "
                         "render only through the JAX backend)")
                 if cls is m.Noise and noise_tape is not None:
-                    self.fields.append(cls(mode, tape_span_fn=noise_tape))
+                    fn = (noise_tape.next_fn()
+                          if isinstance(noise_tape, NoiseTapeFactory)
+                          else noise_tape)
+                    self.fields.append(cls(mode, tape_span_fn=fn))
                 else:
                     self.fields.append(cls(mode))
             else:
@@ -400,11 +420,16 @@ def render_script_oracle(compiled, module_name: str, song, total: int,
     PolyphonyDispatcher voice stack drives one OracleScriptModule per
     subvoice. Returns f32 [num_outputs, total].
 
-    noise_tapes: optional [polyphony][>= total] uniform-[0,1) arrays — the
-    POSITIONAL white tape per subvoice (frame f reads tape[f]), matching the
-    engine's chunk-keyed threefry draw so Noise joins differential parity
-    (the engine generates noise positionally over the whole chunk; a
-    sequential per-paint stream would misalign across active-span gaps).
+    noise_tapes: optional positional uniform-[0,1) tapes (frame f reads
+    tape[f]), matching the engine's chunk-keyed threefry draw so Noise
+    joins differential parity (the engine generates noise positionally
+    over the whole chunk; a sequential per-paint stream would misalign
+    across active-span gaps). Two shapes:
+      - [polyphony][>= total]: ONE tape per subvoice, shared by every
+        Noise site in that voice's module tree (single-site scripts);
+      - [polyphony][n_sites][>= total]: one tape per site per subvoice,
+        assigned to Noise fields in construction order (multi-site
+        scripts — each engine call site keys its own threefry stream).
     """
     mi = compiled.find_module(module_name)
     mr = compiled.codegen_result.module_results[mi]
@@ -415,10 +440,22 @@ def render_script_oracle(compiled, module_name: str, song, total: int,
     else:
         vctr = [0]
         off = [0]  # absolute frame of the current block's start
+        multi_site = isinstance(noise_tapes[0], (list, tuple))
 
         def make_module():
             v = vctr[0]
             vctr[0] += 1
+
+            if multi_site:
+                def make_fn(ordinal, v=v):
+                    def tape_span(span, n):
+                        s = off[0] + span.start
+                        return noise_tapes[v][ordinal][s:s + n]
+                    return tape_span
+
+                return OracleScriptModule(
+                    compiled, mi, mode,
+                    noise_tape=NoiseTapeFactory(make_fn))
 
             def tape_span(span, n, v=v):
                 s = off[0] + span.start

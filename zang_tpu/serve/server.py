@@ -419,6 +419,7 @@ class LiveServer:
                 "sample_rate": self.fleet._sample_rate,
                 "block_size": sess.block_size,
                 "num_channels": sess.num_channels,
+                "num_parts": len(sess.parts),
                 "dtype": self._dtype,
                 "resume_token": token,
             }

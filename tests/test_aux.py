@@ -161,9 +161,12 @@ class TestRecorder:
         r.track_event(5, False)
         assert r.poll(1.5) == [(7, True)]
         r.track_event(7, True)
-        # loop seam at t=1.0: the restart arms the drain but (as in the
-        # reference, getNote:145-151) emits nothing on that call; the
-        # pump's NEXT call pops the held 7
+        # loop seam at t=1.0: the restart arms the drain; nothing is due
+        # yet under the NEW loop clock so this call emits nothing, and the
+        # pump's NEXT call pops the held 7. (The reference would emit
+        # notes[0] right here via its stale pre-restart time check and the
+        # drain would then cut that note — a documented deliberate
+        # divergence, see Recorder._get_note.)
         assert r.poll(2.0) == []
         assert r.poll(2.0) == [(7, False)]
         assert r.poll(2.1) == [(5, True)]

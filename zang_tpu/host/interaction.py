@@ -140,6 +140,15 @@ class Recorder:
             self._play_start = now
             self._looping = True
             self._drain = True  # drain held keys at the loop seam
+        # DELIBERATE divergence from the reference at the seam: getNote
+        # computes `time` BEFORE the restart (recorder.zig:152-157) and
+        # still checks notes[0] against that stale value (:160-168), so
+        # the reference emits the loop's first event immediately at the
+        # seam — and the held-key drain on the very next call then
+        # releases that key, cutting the first note of every loop pass
+        # to zero length. We re-time from the new loop start instead:
+        # the drain runs first and the first note replays at its
+        # recorded offset, intact.
         if self._play_index < len(self.events):
             t, key, down = self.events[self._play_index]
             if t <= now - self._play_start:

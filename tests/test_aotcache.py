@@ -159,14 +159,14 @@ class TestKeys:
         assert aotcache.performance_tag(p, 1024) != t1
 
     def test_unfingerprintable_receiver_is_uncacheable(self):
-        # a receiver walk() cannot fingerprint (self-referential attrs ->
-        # RecursionError) must NOT degrade to a type repr in strict mode:
-        # two differently-configured receivers of one class would collide
-        # onto one disk key (stale-executable-as-hit). Disk-key callers
-        # catch Uncacheable and fall back to plain jit.
+        # a receiver walk() cannot fingerprint must NOT degrade to a type
+        # repr in strict mode: two differently-configured receivers of one
+        # class would collide onto one disk key (stale-executable-as-hit).
+        # Disk-key callers catch Uncacheable and fall back to plain jit.
+        # (Vehicle: a mixed-key dict attr — sorted() raises TypeError.)
         class Weird:
             def __init__(self):
-                self.loop = self
+                self.bad = {1: "a", "b": 2}
 
             def apply(self, x):
                 return x
@@ -181,7 +181,7 @@ class TestKeys:
     def test_unfingerprintable_closure_capture_is_uncacheable(self):
         class Weird:
             def __init__(self):
-                self.loop = self
+                self.bad = {1: "a", "b": 2}
 
         w = Weird()
 
@@ -191,6 +191,77 @@ class TestKeys:
         with pytest.raises(aotcache.Uncacheable):
             aotcache.stable_tag(f)
         assert isinstance(aotcache.stable_tag(f, strict=False), str)
+
+    def test_cyclic_attr_graph_fingerprints(self):
+        # Cycles are structural, not unfingerprintable: a back-edge encodes
+        # as ("cycle", distance-up-the-path), so isomorphic graphs tag
+        # identically and differing configs still differ. Regression: the
+        # walker recursed forever here, which broke LiveSession.__init__
+        # (eager _spec_fingerprint) for ANY DSL script using delay/deftrack
+        # — parse Scope.parent points back at the enclosing scope.
+        class Node:
+            def __init__(self, gain):
+                self.gain = gain
+                self.loop = self
+
+        t1 = aotcache.stable_tag(Node(1.0))
+        assert t1 == aotcache.stable_tag(Node(1.0))
+        assert t1 != aotcache.stable_tag(Node(2.0))
+        assert "('cycle'," in t1
+        # bound methods on cyclic receivers fingerprint too (used to be
+        # Uncacheable via RecursionError)
+        class WithMethod(Node):
+            def apply(self, x):
+                return x * self.gain
+
+        assert (aotcache.stable_tag(WithMethod(1.0).apply)
+                != aotcache.stable_tag(WithMethod(2.0).apply))
+
+    def test_dag_sharing_is_not_a_cycle(self):
+        # shared acyclic substructure must walk fully on each path (a
+        # path-based seen set, not a global memo) — a global memo would
+        # make the tag depend on traversal order
+        class O:
+            pass
+
+        shared = [1, 2]
+        o = O()
+        o.a = shared
+        o.b = shared
+        # both attrs walk to the full list value, no back-edge marker
+        # (the test's own qualname contains "cycle", hence the tuple form)
+        assert "('cycle'," not in aotcache.stable_tag(o)
+        assert aotcache.stable_tag(o).count("('s', 'int', 1)") == 2
+
+    def test_script_instrument_with_delay_fingerprints(self):
+        # the live case behind the cycle handling: delay/deftrack scripts
+        # carry Scope.parent back-edges through compiled.parse_result
+        from zang_tpu.script.compile import compile_script
+        from zang_tpu.script.jax_backend import ScriptInstrument
+
+        src = """
+Echoed = defmodule
+    freq: constant,
+    note_on: boolean,
+begin
+    osc = SineOsc(freq, phase=0) * Gate(note_on)
+    out delay 4410 begin
+        result = osc + feedback * 0.5
+        out result
+        feedback result
+    end
+end
+"""
+        t1 = aotcache.stable_tag(
+            ScriptInstrument(compile_script(src, filename="<t>"), "Echoed"))
+        t2 = aotcache.stable_tag(
+            ScriptInstrument(compile_script(src, filename="<t>"), "Echoed"))
+        assert t1 == t2
+        src_b = src.replace("0.5", "0.25")
+        t3 = aotcache.stable_tag(
+            ScriptInstrument(compile_script(src_b, filename="<t>"),
+                             "Echoed"))
+        assert t1 != t3
 
     def test_cache_key_depends_on_arg_shapes(self):
         k1 = aotcache.cache_key("t", (np.zeros((4,), np.float32),))

@@ -92,7 +92,18 @@ def stable_tag(obj, strict: bool = True) -> str:
     differently-configured receivers of one class must never collide onto
     one disk key. strict=False (snapshot fingerprints, where a refused
     restore is worse than a theoretical collision) keeps the degraded
-    repr fallbacks."""
+    repr fallbacks.
+
+    Cyclic object graphs are fingerprinted, not refused: a back-edge to an
+    object already on the current descent path encodes as ("cycle", k)
+    where k is the ancestor's distance up the path — structural, so two
+    isomorphic graphs tag identically. (Script parse trees are the live
+    case: Scope.parent points back at the enclosing scope, so any DSL
+    module using delay/deftrack is cyclic; stable_tag used to recurse
+    forever on those.) Shared acyclic substructure (a DAG diamond) is NOT
+    on the path twice and still walks fully both times."""
+
+    _onpath: dict = {}
 
     def walk(v):
         import numpy as np
@@ -106,6 +117,19 @@ def stable_tag(obj, strict: bool = True) -> str:
             return ("a", a.shape, str(a.dtype),
                     hashlib.sha1(np.ascontiguousarray(a).tobytes())
                     .hexdigest())
+        # everything below can recurse — break cycles on the descent path
+        vid = id(v)
+        if vid in _onpath:
+            return ("cycle", len(_onpath) - _onpath[vid])
+        _onpath[vid] = len(_onpath)
+        try:
+            return walk_acyclic(v)
+        finally:
+            del _onpath[vid]
+
+    def walk_acyclic(v):
+        import numpy as np
+
         if isinstance(v, (list, tuple)):
             return ("l", tuple(walk(x) for x in v))
         if isinstance(v, dict):

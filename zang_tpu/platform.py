@@ -28,3 +28,50 @@ def apply_platform_env() -> None:
     import jax
 
     jax.config.update("jax_platforms", plat)
+
+
+def enable_cpu_compile_cache() -> str | None:
+    """Enable JAX's persistent compilation cache for XLA:CPU runs (tests,
+    the multichip dryrun, CPU-mode serving CLIs). XLA:CPU compiles dominate
+    those paths — a live block step costs ~17-19 s to compile on a 1-core
+    box and ~4-5 s to reload — and unlike the remote axon TPU path (which
+    needs graph/aotcache.py's executable serialization instead), the
+    standard jax cache works for CPU.
+
+    Safety: reloaded executables are bit-identical, BUT an executable
+    compiled on a wider-ISA machine can SIGILL on a narrower one, so the
+    default cache dir is keyed to this machine's CPU flags + jaxlib version
+    and lives in /tmp (per-box — it must never follow a repo checkout
+    across machines). ZANG_JAX_CACHE=<dir> overrides the location,
+    ZANG_JAX_CACHE=0 disables. Returns the dir in use, or None.
+
+    Call AFTER selecting the cpu platform and before the first compile."""
+    knob = os.environ.get("ZANG_JAX_CACHE", "1")
+    if knob == "0":
+        return None
+    import jax
+
+    path = knob if knob not in ("", "1") else (
+        f"/tmp/zang_jax_testcache_{_machine_fingerprint()}")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
+
+
+def _machine_fingerprint() -> str:
+    import hashlib
+
+    import jaxlib
+
+    bits = [getattr(jaxlib, "__version__", "?")]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    bits.append(" ".join(sorted(line.split()[2:])))
+                    break
+    except OSError:  # pragma: no cover — non-Linux
+        import platform as _platform
+
+        bits.append(_platform.machine() + _platform.processor())
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]

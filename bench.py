@@ -52,6 +52,10 @@ Env:
                        probe: total retry budget (default 1800) and
                        per-attempt subprocess timeout (default 180) —
                        a dead tunnel exits 1 instead of hanging forever
+  ZANG_BENCH_IDLE_WAIT / ZANG_BENCH_IDLE_LOAD  serve/fleet idle gate:
+                       max seconds to wait for host load1 to drop under
+                       IDLE_LOAD * ncpu (defaults 600 s, 0.35) before the
+                       contention-sensitive metrics; 0 disables the wait
 """
 
 import json
@@ -255,8 +259,7 @@ def bench_serve(chunk):
     audio = sum(r.seconds for r in results if r.status == "ok")
     rtf = audio / min(walls)
     _spread_note("bench_serve", walls)
-    emit("batch_serve_rtf_aggregate", round(rtf, 1), "x_realtime_wav_delivery",
-         round(rtf, 1))
+    return rtf
 
 
 def bench_fleet():
@@ -294,9 +297,7 @@ def bench_fleet():
     # of 1.5-2x run to run) is not part of the chip's steady-state capacity
     _spread_note("bench_fleet", times)
     bt = float(np.min(times))
-    sessions = lanes * (block / sr) / bt
-    emit("live_fleet_sessions_per_chip", round(sessions, 1),
-         "realtime_sessions", round(sessions, 1))
+    return lanes * (block / sr) / bt
 
 
 def bench_fidelity(seconds, chunk):
@@ -335,40 +336,93 @@ def bench_song(seconds, chunk):
     )
 
 
+def _load1():
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
+def _dispatch_probe(label):
+    """(min_ms, spread) of 5 tiny jitted dispatches — the tunnel-health
+    signal. Sub-ms LOCAL dispatches jitter wildly in relative terms but
+    are irrelevant; callers must pair spread with the min_ms floor."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jnp.sum(x * jnp.float32(2.0)))
+    x = jnp.ones((256, 256), jnp.float32)
+    _first_run(f, (x,))
+    lats = [_timed(f, (x,)) for _ in range(5)]
+    spread = (max(lats) - min(lats)) / min(lats)
+    print(f"# {label} dispatch_ms min={min(lats) * 1e3:.1f} "
+          f"max={max(lats) * 1e3:.1f} spread={spread:.0%}", file=sys.stderr)
+    return min(lats) * 1e3, spread
+
+
 def _preflight():
     """Record the capture conditions (host load, tunnel dispatch latency)
     so a contended run is self-diagnosing: the r03 driver capture showed an
     across-the-board dip with 15% wall spread that took a bisect to clear —
     these lines make that call from the output alone."""
     import jax
-    import jax.numpy as jnp
 
     ncpu = os.cpu_count() or 1
-    try:
-        load1 = os.getloadavg()[0]
-    except OSError:  # pragma: no cover
-        load1 = -1.0
-    f = jax.jit(lambda x: jnp.sum(x * jnp.float32(2.0)))
-    x = jnp.ones((256, 256), jnp.float32)
-    _first_run(f, (x,))
-    lats = [_timed(f, (x,)) for _ in range(5)]
-    ms = [v * 1e3 for v in lats]
-    spread = (max(lats) - min(lats)) / min(lats)
+    load1 = _load1()
     print(f"# preflight host_load1={load1:.2f} ncpu={ncpu} "
-          f"dispatch_ms min={min(ms):.1f} max={max(ms):.1f} "
-          f"spread={spread:.0%} backend={jax.default_backend()}",
-          file=sys.stderr)
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    min_ms, spread = _dispatch_probe("preflight")
     if load1 > 0.75 * ncpu:
         print("# preflight WARNING: host already loaded — serve/fleet "
               "metrics are host+tunnel-bound and will read LOW under "
               "contention; serialize against other work and rerun",
               file=sys.stderr)
-    if spread > 0.5 and min(ms) > 2.0:
-        # sub-ms local dispatches jitter wildly in relative terms but are
-        # irrelevant; only flag instability on a real (remote) dispatch floor
+    if spread > 0.5 and min_ms > 2.0:
         print("# preflight WARNING: tunnel dispatch latency is unstable "
               "(>50% spread) — expect noisy walls; best-of-N mitigates "
               "but does not remove this", file=sys.stderr)
+
+
+def _wait_for_idle(label):
+    """Bounded idle gate ahead of the contention-sensitive metrics: the
+    r04 driver capture ran serve/fleet at host_load1=0.92 on a 1-core box
+    (its own preflight warned) and recorded −57%/−48% garbage that a
+    same-day idle rerun disproved. Waiting out a transient load spike is
+    cheaper than a contaminated round artifact."""
+    budget = float(os.environ.get("ZANG_BENCH_IDLE_WAIT", 600.0))
+    target = float(os.environ.get("ZANG_BENCH_IDLE_LOAD", 0.35))
+    ncpu = os.cpu_count() or 1
+    thresh = target * ncpu
+    deadline = time.time() + budget
+    load1 = _load1()
+    waited = False
+    while load1 > thresh and time.time() < deadline:
+        if not waited:
+            print(f"# {label}: host_load1={load1:.2f} > {thresh:.2f} — "
+                  f"waiting for idle (up to {budget:.0f} s)", file=sys.stderr)
+        waited = True
+        time.sleep(15.0)
+        load1 = _load1()
+    if waited or load1 > thresh:
+        verdict = "idle" if load1 <= thresh else "STILL LOADED — proceeding"
+        print(f"# {label}: host_load1={load1:.2f} after wait ({verdict})",
+              file=sys.stderr)
+    return load1 <= thresh
+
+
+def _contention_sensitive(label, measure):
+    """serve/fleet are host+tunnel-bound: gate on an idle host, then if
+    the dispatch probe is unstable (>20% spread on a real remote floor),
+    measure twice and keep the best, recording conditions either way."""
+    _wait_for_idle(label)
+    min_ms, spread = _dispatch_probe(label)
+    value = measure()
+    if spread > 0.2 and min_ms > 2.0:
+        print(f"# {label}: tunnel unstable at probe time "
+              f"(spread {spread:.0%}) — re-measuring once, reporting best",
+              file=sys.stderr)
+        value = max(value, measure())
+    return value
 
 
 def main():
@@ -388,9 +442,13 @@ def main():
     if "poly" in which:
         bench_poly(chunk)
     if "serve" in which:
-        bench_serve(chunk)
+        rtf = _contention_sensitive("bench_serve", lambda: bench_serve(chunk))
+        emit("batch_serve_rtf_aggregate", round(rtf, 1),
+             "x_realtime_wav_delivery", round(rtf, 1))
     if "fleet" in which:
-        bench_fleet()
+        sessions = _contention_sensitive("bench_fleet", bench_fleet)
+        emit("live_fleet_sessions_per_chip", round(sessions, 1),
+             "realtime_sessions", round(sessions, 1))
     if "fidelity" in which:
         bench_fidelity(seconds, chunk)
     if "song" in which:  # headline — keep last so it's the final JSON line

@@ -354,3 +354,106 @@ class TestShardedCache:
             self._sharded_perf(total), total, make_mesh(4), chunk_size=2048,
             aot_cache=str(tmp_path), _aot_status=st4)
         assert st8 == ["miss"] and st4 == ["miss"]
+
+
+class TestSelfHealing:
+    """Round-4 regression: a cache entry that deserializes but dies at
+    execution (executables XLA served from its warm persistent compilation
+    cache serialize INCOMPLETE — `NOT_FOUND: Buffer Definition Event` at
+    the first buffer materialization; MULTICHIP_r04 ok=false) must not be
+    a hard render failure. Two defenses, both covered here:
+
+    - prevention: aot_compile's miss path compiles with the persistent
+      compilation cache suppressed (aotcache._fresh_compile), so stored
+      payloads are always complete;
+    - healing: a reloaded hit is wrapped in _HealingExecutable — the
+      first call materializes the result, and an execution-time
+      JaxRuntimeError invalidates the entry, recompiles fresh, re-stores,
+      and serves the call from the fresh executable."""
+
+    def test_fresh_compile_suppresses_persistent_cache(self):
+        import jax.numpy as jnp
+
+        seen = []
+
+        def make_jitted():
+            # record the config as the compile path observes it
+            seen.append(jax.config.jax_enable_compilation_cache)
+            return jax.jit(lambda v: jnp.sum(v * 2.0))
+
+        before = jax.config.jax_enable_compilation_cache
+        compiled = aotcache._fresh_compile(
+            make_jitted, (jnp.ones((8,), jnp.float32),))
+        assert seen == [False]
+        assert jax.config.jax_enable_compilation_cache == before  # restored
+        assert float(compiled(jnp.ones((8,), jnp.float32))) == 16.0
+
+    @staticmethod
+    def _sharded_setup(fn):
+        """Mesh-sharded compile + args: unsharded reloads mis-bind on the
+        8-virtual-device CPU config (why cache_usable gates them off), so
+        the healing tests mirror real usage — sharded executables only."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from zang_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        args = (jax.device_put(
+            jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4),
+            NamedSharding(mesh, P("voices"))),)
+        out_sh = NamedSharding(mesh, P())
+        compile_now = lambda: (  # noqa: E731
+            jax.jit(fn, out_shardings=out_sh).lower(*args).compile())
+        return mesh, args, compile_now
+
+    def test_broken_hit_heals_invalidates_and_restores(self, tmp_path):
+        fn = lambda v: (v * 3.0).sum(axis=0)  # noqa: E731
+        mesh, args, compile_now = self._sharded_setup(fn)
+        expect = np.arange(8 * 4, dtype=np.float32).reshape(8, 4).sum(0) * 3
+        key = "deadbeef" * 4
+        with mesh:
+            assert aotcache.store(str(tmp_path), key, compile_now())
+
+        calls = {"broken": 0, "recompiled": 0}
+
+        def broken(*a):
+            calls["broken"] += 1
+            raise jax.errors.JaxRuntimeError(
+                "NOT_FOUND: Buffer Definition Event: Function "
+                "wrapped_broadcast not found (type id: 1)")
+
+        def recompile():
+            calls["recompiled"] += 1
+            return compile_now()
+
+        healer = aotcache._HealingExecutable(
+            broken, recompile, str(tmp_path), key)
+        with mesh:
+            out = healer(*args)
+            assert np.array_equal(np.asarray(out), expect)
+            assert healer.healed and calls == {"broken": 1, "recompiled": 1}
+            # the disk entry was replaced by the fresh executable's payload
+            reloaded = aotcache.load(str(tmp_path), key)
+            assert reloaded is not None
+            assert np.array_equal(np.asarray(reloaded(*args)), expect)
+            # subsequent calls bypass the guard (no second broken attempt)
+            out2 = healer(*args)
+            assert np.array_equal(np.asarray(out2), expect)
+            assert calls == {"broken": 1, "recompiled": 1}
+
+    def test_healthy_hit_validates_once_and_stays(self, tmp_path):
+        fn = lambda v: (v + 1.0).sum(axis=0)  # noqa: E731
+        mesh, args, compile_now = self._sharded_setup(fn)
+        key = "cafebabe" * 4
+        with mesh:
+            assert aotcache.store(str(tmp_path), key, compile_now())
+            reloaded = aotcache.load(str(tmp_path), key)
+            recompiles = []
+            healer = aotcache._HealingExecutable(
+                reloaded, lambda: recompiles.append(1), str(tmp_path), key)
+            a = np.asarray(healer(*args))
+            b = np.asarray(healer(*args))
+            assert np.array_equal(a, b) and not healer.healed
+            assert not recompiles
+            assert os.path.exists(tmp_path / f"aot_{key}.pkl")

@@ -328,6 +328,67 @@ def store(cache_dir: str, key: str, compiled) -> bool:
         return False
 
 
+def _fresh_compile(make_jitted, args):
+    """Compile OUTSIDE jax's persistent compilation cache.
+
+    An executable XLA serves from its persistent compilation cache
+    (jax_compilation_cache_dir, enabled for XLA:CPU test/dryrun runs by
+    platform.enable_cpu_compile_cache) serializes INCOMPLETE: the payload
+    is smaller than a fresh compile's and, after a deserialize round-trip,
+    dies at execution with `NOT_FOUND: Buffer Definition Event: Function
+    ... not found` (round-4 MULTICHIP red; minimal repro in the round-5
+    journal). Only executables this module intends to serialize+store
+    compile with the cache suppressed — plain jit paths keep it. The
+    toggle is process-global config; a concurrent compile on another
+    thread merely misses the persistent cache for that one compile (a
+    slowdown, never a correctness issue)."""
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        return make_jitted().lower(*args).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+
+
+class _HealingExecutable:
+    """First-call guard around a deserialized cache hit: reloaded
+    executables are only trusted after one successful materialized call.
+    Any environment drift that breaks execution (the persistent-cache
+    serialization hole above from entries stored before the fix, a cache
+    dir copied across machines, loader feature mismatches that turn out
+    real) would otherwise turn a cache hit into a hard render failure —
+    here it invalidates the entry, recompiles fresh, re-stores, and
+    serves the caller from the fresh executable instead."""
+
+    def __init__(self, compiled, recompile, cache_dir: str, key: str):
+        self._compiled = compiled
+        self._recompile = recompile
+        self._cache_dir = cache_dir
+        self._key = key
+        self._validated = False
+        self.healed = False
+
+    def __call__(self, *args):
+        if self._validated:
+            return self._compiled(*args)
+        try:
+            out = self._compiled(*args)
+            # execution errors in deserialized executables surface lazily
+            # (at buffer materialization) — force them into the guard
+            jax.block_until_ready(out)
+        except jax.errors.JaxRuntimeError:
+            try:
+                os.remove(_path(self._cache_dir, self._key))
+            except OSError:
+                pass
+            self._compiled = self._recompile()
+            store(self._cache_dir, self._key, self._compiled)
+            self.healed = True
+            out = self._compiled(*args)
+        self._validated = True
+        return out
+
+
 class AotDispatch:
     """Drop-in for jax.jit(fn) that consults the disk cache per argument
     signature: the first call with a new signature loads (or compiles and
@@ -367,18 +428,19 @@ def aot_compile(fn, args, tag: str,
     describe the mesh (axes + shape) since arg shapes alone don't."""
     sharded = out_shardings is not None
 
-    def compile_now():
-        jitted = (jax.jit(fn, out_shardings=out_shardings) if sharded
-                  else jax.jit(fn))
-        return jitted.lower(*args).compile()
+    def make_jitted():
+        return (jax.jit(fn, out_shardings=out_shardings) if sharded
+                else jax.jit(fn))
 
     cache_dir = cache_dir or default_cache_dir()
     if cache_dir is None or not cache_usable(sharded=sharded):
-        return compile_now(), "off"
+        return make_jitted().lower(*args).compile(), "off"
     key = cache_key(tag, args)
     compiled = load(cache_dir, key)
     if compiled is not None:
-        return compiled, "hit"
-    compiled = compile_now()
+        return _HealingExecutable(
+            compiled, lambda: _fresh_compile(make_jitted, args),
+            cache_dir, key), "hit"
+    compiled = _fresh_compile(make_jitted, args)
     store(cache_dir, key, compiled)
     return compiled, "miss"

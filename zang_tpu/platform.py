@@ -51,8 +51,21 @@ def enable_cpu_compile_cache() -> str | None:
         return None
     import jax
 
-    path = knob if knob not in ("", "1") else (
-        f"/tmp/zang_jax_testcache_{_machine_fingerprint()}")
+    if knob not in ("", "1"):
+        path = knob
+    else:
+        # per-user + mode-0700: deserialized XLA executables run native
+        # code, so a world-writable predictable /tmp path would let another
+        # local user poison the cache into arbitrary code execution
+        path = (f"/tmp/zang_jax_testcache_{os.getuid()}_"
+                f"{_machine_fingerprint()}")
+        try:
+            os.makedirs(path, mode=0o700, exist_ok=True)
+            st = os.stat(path)
+            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                return None  # pre-created/poisonable — skip caching
+        except OSError:
+            return None
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path
@@ -64,14 +77,19 @@ def _machine_fingerprint() -> str:
     import jaxlib
 
     bits = [getattr(jaxlib, "__version__", "?")]
+    isa = ""
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
-                    bits.append(" ".join(sorted(line.split()[2:])))
+                # x86 spells the ISA line 'flags'; ARM Linux 'Features'
+                if line.startswith(("flags", "Features")):
+                    isa = " ".join(sorted(line.split()[2:]))
                     break
-    except OSError:  # pragma: no cover — non-Linux
+    except OSError:
+        pass
+    if not isa:  # non-Linux, or an unrecognized cpuinfo layout
         import platform as _platform
 
-        bits.append(_platform.machine() + _platform.processor())
+        isa = _platform.machine() + _platform.processor()
+    bits.append(isa)
     return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]

@@ -67,7 +67,13 @@ class TestTerminalPlayer:
     def test_record_toggle_roundtrip(self, tmp_path):
         with make_server(record_dir=str(tmp_path)) as srv:
             c = LiveClient(srv.host, srv.port)
-            with TerminalPlayer(c, quiet=True) as player:
+            # gate far longer than the test: the default 0.3 s WALL-clock
+            # gate expires during the first-block jit compile, so whether
+            # the recorded window holds attack or release tail depended on
+            # compile speed (warm-cache runs recorded a quieter tail and
+            # flaked the >0.05 peak assert). Held key = sustained audio,
+            # deterministic at any compile speed.
+            with TerminalPlayer(c, gate=30.0, quiet=True) as player:
                 player.press("q")
                 wait_blocks(player, 2)  # past the first-block jit compile
                 player.toggle_recording()

@@ -125,8 +125,12 @@ def main(argv=None) -> int:
 
     head = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
                           capture_output=True, text=True).stdout.strip()
-    dirty = bool(subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
-                                capture_output=True, text=True).stdout.strip())
+    porcelain = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                               capture_output=True, text=True).stdout
+    # CERTIFY.md is this tool's own output: a leftover from the previous
+    # run must not make every second certification self-report dirty
+    dirty = bool([ln for ln in porcelain.splitlines()
+                  if ln.strip() and not ln.endswith("CERTIFY.md")])
     when = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
     report = {"when": when, "head": head, "dirty": dirty,
               "ncpu": os.cpu_count(), "load1_at_start": os.getloadavg()[0]}

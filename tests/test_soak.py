@@ -7,17 +7,21 @@ churn drops don't wedge the server, and RSS growth after warmup stays
 bounded. Serving tier only — no reference counterpart (the reference host
 is single-process SDL, examples/example.zig:35-83)."""
 
+import importlib.util
 import os
-import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
-
-from soak import run_soak  # noqa: E402
-
 pytestmark = pytest.mark.slow
+
+# load the tool WITHOUT putting tools/ on sys.path (tools/profile.py would
+# shadow the stdlib profile module for the rest of the pytest process)
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "tools", "soak.py")
+_spec = importlib.util.spec_from_file_location("zang_soak_tool", _TOOL)
+_soak = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_soak)
+run_soak = _soak.run_soak
 
 
 def test_soak_short():

@@ -98,6 +98,11 @@ def main(argv=None) -> int:
     if missing:
         print(f"add WINDOW entries for new examples: {missing}")
         return 1
+    unknown = sorted(set(args.only or ()) - set(WINDOW))
+    if unknown:
+        print(f"unknown example name(s): {unknown} "
+              f"(choose from: {sorted(WINDOW)})")
+        return 1
     names = args.only or sorted(WINDOW)
 
     if args.update:

@@ -41,7 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _rss_mb() -> float:
-    """Current (not peak) resident set, in MB."""
+    """Current (not peak) resident set, in MB.
+
+    Without /proc (non-Linux) the fallback is ru_maxrss — PEAK rss, which
+    never decreases, so the slope check degrades to 'did the peak move
+    after midpoint' (weaker but still leak-sensitive). Units differ too:
+    Linux reports KB, macOS bytes."""
     try:
         with open("/proc/self/status") as fh:
             for line in fh:
@@ -50,8 +55,11 @@ def _rss_mb() -> float:
     except OSError:
         pass
     import resource
+    import sys as _sys
 
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    return peak / (1024.0 * 1024.0) if _sys.platform == "darwin" \
+        else peak / 1024.0
 
 
 class _ClientWorker:

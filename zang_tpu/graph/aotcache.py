@@ -35,6 +35,8 @@ keys. When in doubt, include more.
 import hashlib
 import os
 import pickle
+import threading
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -328,6 +330,9 @@ def store(cache_dir: str, key: str, compiled) -> bool:
         return False
 
 
+_FRESH_COMPILE_LOCK = threading.Lock()
+
+
 def _fresh_compile(make_jitted, args):
     """Compile OUTSIDE jax's persistent compilation cache.
 
@@ -339,15 +344,19 @@ def _fresh_compile(make_jitted, args):
     ... not found` (round-4 MULTICHIP red; minimal repro in the round-5
     journal). Only executables this module intends to serialize+store
     compile with the cache suppressed — plain jit paths keep it. The
-    toggle is process-global config; a concurrent compile on another
-    thread merely misses the persistent cache for that one compile (a
-    slowdown, never a correctness issue)."""
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        return make_jitted().lower(*args).compile()
-    finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
+    toggle is process-global config, so toggle+compile holds a lock:
+    without it, two concurrent miss compiles (e.g. MultiInstrumentServer
+    cold-building two backends) could interleave so one compiles WITH the
+    cache still on (storing an incomplete payload — the very bug this
+    fixes) and the other's restore leaves the cache off process-wide.
+    Serializing rare cold compiles is the cheap correct answer."""
+    with _FRESH_COMPILE_LOCK:
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            return make_jitted().lower(*args).compile()
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
 
 
 class _HealingExecutable:
@@ -368,23 +377,43 @@ class _HealingExecutable:
         self._validated = False
         self.healed = False
 
+    # Errors that indicate the ENVIRONMENT hiccuped, not a corrupt entry:
+    # the axon backend sporadically raises FAILED_PRECONDITION/UNAVAILABLE
+    # on fresh processes (see bench.py _TRANSIENT). Destroying a healthy
+    # entry on those would force a full tunnel recompile (minutes) on
+    # exactly the cold-start runs the cache exists for — retry the
+    # reloaded executable instead, and only heal on persistent or
+    # corrupt-entry-shaped failures.
+    _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE")
+
     def __call__(self, *args):
         if self._validated:
             return self._compiled(*args)
-        try:
-            out = self._compiled(*args)
-            # execution errors in deserialized executables surface lazily
-            # (at buffer materialization) — force them into the guard
-            jax.block_until_ready(out)
-        except jax.errors.JaxRuntimeError:
+        for attempt in range(3):
             try:
-                os.remove(_path(self._cache_dir, self._key))
-            except OSError:
-                pass
-            self._compiled = self._recompile()
-            store(self._cache_dir, self._key, self._compiled)
-            self.healed = True
-            out = self._compiled(*args)
+                out = self._compiled(*args)
+                # execution errors in deserialized executables surface
+                # lazily (at buffer materialization) — force them here
+                jax.block_until_ready(out)
+                self._validated = True
+                return out
+            except jax.errors.JaxRuntimeError as e:
+                if (attempt < 2
+                        and any(t in repr(e) for t in self._TRANSIENT)):
+                    time.sleep(2.0 * (attempt + 1))
+                    continue
+                if any(t in repr(e) for t in self._TRANSIENT):
+                    raise  # still transient after retries: recompiling
+                    # through the same backend would fail the same way
+                break  # corrupt-entry-shaped: heal below
+        try:
+            os.remove(_path(self._cache_dir, self._key))
+        except OSError:
+            pass
+        self._compiled = self._recompile()
+        store(self._cache_dir, self._key, self._compiled)
+        self.healed = True
+        out = self._compiled(*args)
         self._validated = True
         return out
 

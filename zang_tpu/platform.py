@@ -61,9 +61,16 @@ def enable_cpu_compile_cache() -> str | None:
                 f"{_machine_fingerprint()}")
         try:
             os.makedirs(path, mode=0o700, exist_ok=True)
-            st = os.stat(path)
-            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
-                return None  # pre-created/poisonable — skip caching
+            # lstat + explicit checks: os.stat would FOLLOW a pre-created
+            # symlink at this predictable name, approving an
+            # attacker-chosen target directory that passes the uid/mode
+            # test (cache writes would then land wherever the link points)
+            st = os.lstat(path)
+            import stat as _stat
+
+            if (not _stat.S_ISDIR(st.st_mode)
+                    or st.st_uid != os.getuid() or (st.st_mode & 0o022)):
+                return None  # symlink/pre-created/poisonable — no caching
         except OSError:
             return None
     jax.config.update("jax_compilation_cache_dir", path)

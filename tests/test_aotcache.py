@@ -442,6 +442,66 @@ class TestSelfHealing:
             assert np.array_equal(np.asarray(out2), expect)
             assert calls == {"broken": 1, "recompiled": 1}
 
+    def test_transient_error_retries_without_destroying_entry(
+            self, tmp_path, monkeypatch):
+        """The axon backend sporadically raises FAILED_PRECONDITION on
+        fresh processes (see bench.py _TRANSIENT); healing on that would
+        delete a healthy entry and force a minutes-long tunnel recompile
+        on exactly the cold starts the cache exists for. A transient that
+        clears on retry must leave the entry alone."""
+        fn = lambda v: (v * 5.0).sum(axis=0)  # noqa: E731
+        mesh, args, compile_now = self._sharded_setup(fn)
+        key = "feedf00d" * 4
+        monkeypatch.setattr(aotcache.time, "sleep", lambda s: None)
+        with mesh:
+            assert aotcache.store(str(tmp_path), key, compile_now())
+            real = aotcache.load(str(tmp_path), key)
+            calls = {"n": 0}
+
+            def flaky(*a):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise jax.errors.JaxRuntimeError(
+                        "FAILED_PRECONDITION: backend not ready")
+                return real(*a)
+
+            healer = aotcache._HealingExecutable(
+                flaky, lambda: (_ for _ in ()).throw(
+                    AssertionError("must not recompile")),
+                str(tmp_path), key)
+            out = np.asarray(healer(*args))
+            expect = (np.arange(32, dtype=np.float32).reshape(8, 4) * 5
+                      ).sum(0)
+            assert np.array_equal(out, expect)
+            assert calls["n"] == 2 and not healer.healed
+            assert os.path.exists(tmp_path / f"aot_{key}.pkl")
+
+    def test_persistent_transient_reraises_entry_intact(
+            self, tmp_path, monkeypatch):
+        """A transient that never clears re-raises (recompiling through
+        the same broken backend would fail identically) and the disk
+        entry survives for the next process."""
+        fn = lambda v: (v - 1.0).sum(axis=0)  # noqa: E731
+        mesh, args, compile_now = self._sharded_setup(fn)
+        key = "0badc0de" * 4
+        monkeypatch.setattr(aotcache.time, "sleep", lambda s: None)
+        with mesh:
+            assert aotcache.store(str(tmp_path), key, compile_now())
+
+            def always_transient(*a):
+                raise jax.errors.JaxRuntimeError(
+                    "UNAVAILABLE: tunnel reset")
+
+            healer = aotcache._HealingExecutable(
+                always_transient, lambda: (_ for _ in ()).throw(
+                    AssertionError("must not recompile")),
+                str(tmp_path), key)
+            with pytest.raises(jax.errors.JaxRuntimeError,
+                               match="UNAVAILABLE"):
+                healer(*args)
+            assert not healer.healed
+            assert os.path.exists(tmp_path / f"aot_{key}.pkl")
+
     def test_healthy_hit_validates_once_and_stays(self, tmp_path):
         fn = lambda v: (v + 1.0).sum(axis=0)  # noqa: E731
         mesh, args, compile_now = self._sharded_setup(fn)

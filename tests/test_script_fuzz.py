@@ -573,6 +573,39 @@ FUZZ2_SEEDS = int(os.environ.get("ZANG_FUZZ2_SEEDS", "24"))
 TIER2_BUDGET_DBFS = -50.0  # gross-miscompile detector (see ScriptGenWild)
 
 
+class TestDirectedRegressions:
+    """Exact repros of bugs the fuzz found — kept fast and unmarked so the
+    fast profile guards them forever."""
+
+    def test_const_fed_delay_respects_active_window(self):
+        """Tier-2 seed 675 (round 5): a delay body CONSTANT reached the
+        feedback line from t=0, so with a late first note every echo
+        landed delay-length early vs the sequential reference (-16 dBFS).
+        Buffer inputs were already zero pre-window. The fix windows the
+        feedback write + body output in exec_delay
+        (script/jax_backend.py)."""
+        from zang_tpu.core.notes import SongEvent
+
+        src = """Root = defmodule freq: cob, note_on: boolean, begin
+    a3 = 1.0
+    a4 = delay 4410 begin
+        fb = feedback * 0.580
+        feedback a3 + fb
+        out fb + a3
+    end
+    a5 = SineOsc(freq=(a1 * 64.3 + 649.4), phase=a4)
+    out (a5 * 0.3)
+end
+""".replace("a1 * ", "")  # const freq; keep the seed's phase-mod shape
+        song = [SongEvent({"freq": 440.0, "note_on": True}, t=0.05,
+                          note_id=1),
+                SongEvent({"freq": 440.0, "note_on": False}, t=0.6,
+                          note_id=1)]
+        dev, ref = _run_differential(src, song, 1, seconds=1.0)
+        assert ref > 1e-5
+        assert dev < -90.0, f"const-fed delay window regression: {dev:.1f}"
+
+
 @pytest.mark.slow
 class TestDifferential:
     @pytest.mark.parametrize("seed", range(FUZZ_SEEDS))

@@ -1222,9 +1222,24 @@ class _Renderer:
             r.temps[e["fb_temp"]] = buf[..., :s]
             r.temps[e["fb_out_temp"]] = jnp.zeros((V, s), jnp.float32)
             r.exec_ops(e["inner"])
-            written = r.full(r.temps[e["fb_out_temp"]])
+            # Mask the feedback write AND the body output by the active
+            # window: the reference paints nothing before a voice's first
+            # impulse (player.zig paintFromImpulses spans start at the
+            # first event), so body CONSTANTS must not reach the delay
+            # line early. Unmasked, `feedback 1.0 + fb` fills the buffer
+            # from t=0 and every echo lands delay-length EARLY relative
+            # to the sequential reference (tier-2 fuzz seed 675: -16 dBFS
+            # vs the oracle; buffer inputs were already zero pre-window,
+            # which is why only constant inputs exposed it). Shifting
+            # zeros is equivalent to the reference's frozen-before-start
+            # line, so windowed writes restore sample parity.
+            written = jnp.where(act_sl, r.full(r.temps[e["fb_out_temp"]]),
+                                jnp.float32(0.0))
             new_buf = jnp.concatenate([buf[..., s:], written], axis=-1)
-            piece = r.full(r.temps.get(e["inner_dest"], jnp.float32(0.0)))
+            piece = jnp.where(
+                act_sl,
+                r.full(r.temps.get(e["inner_dest"], jnp.float32(0.0))),
+                jnp.float32(0.0))
             new_states = {k: r.state[k] for k in states}
             return (new_buf, new_states), piece
 

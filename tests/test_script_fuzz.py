@@ -311,8 +311,13 @@ class ScriptGen:
     def sub_call(self, depth):
         if self.submodule is None:
             inner = ScriptGen(self.rng)
+            # share the curve list so defcurve numbering stays globally
+            # unique: a fresh inner generator restarted at c0 and collided
+            # with the outer script's c0 (seed 497: `redeclaration of
+            # global c0`). Naming consumes no RNG, so non-colliding seeds
+            # generate identical scripts.
+            inner.curves = self.curves
             body = inner.root_body(depth=1, n_terms=1)
-            self.curves.extend(inner.curves)
             self.submodule = (
                 "Sub",
                 "Sub = defmodule freq: cob, note_on: boolean, begin\n"

@@ -237,13 +237,16 @@ class TestMigration:
             try:
                 frame = cb.restore(blob)
                 assert frame > 0
-                # the note survived the move — audible with no new events
-                peaks = [float(np.abs(cb.read_block()).max())
-                         for _ in range(8)]
-                assert max(peaks) > 100, peaks
+                # the note survived the move — audible with no new events.
+                # Scan, don't count: the restore ack round-trip queues
+                # however many PRE-restore silent blocks the free-running
+                # server rendered meanwhile (read_control buffers them for
+                # read_block), and on a loaded box that exceeds any fixed
+                # read count.
+                peak = read_until_audible(cb)
                 # and releases through the migrated key tracker
                 cb.send_key(0, "q", False)
-                read_until_quiet(cb, max(peaks) / 4)
+                read_until_quiet(cb, peak / 4)
             finally:
                 cb.close()
 

@@ -575,6 +575,9 @@ def minimize_failing_script(src: str, still_fails) -> str:
 
 FUZZ_SEEDS = int(os.environ.get("ZANG_FUZZ_SEEDS", "24"))
 FUZZ2_SEEDS = int(os.environ.get("ZANG_FUZZ2_SEEDS", "24"))
+# manual deep sweeps only: start both tiers' seed ranges here instead of 0
+# (so successive sweeps cover FRESH seeds without re-running recorded ones)
+FUZZ_OFFSET = int(os.environ.get("ZANG_FUZZ_OFFSET", "0"))
 TIER2_BUDGET_DBFS = -50.0  # gross-miscompile detector (see ScriptGenWild)
 
 
@@ -648,7 +651,7 @@ if __name__ == "__main__":
     import sys
 
     bad = 0
-    for s in range(FUZZ_SEEDS):
+    for s in range(FUZZ_OFFSET, FUZZ_OFFSET + FUZZ_SEEDS):
         try:
             dev, ref, src = run_differential_seed(s)
             status = "ok " if (dev < -90.0 and ref > 1e-5) else "BAD"
@@ -660,7 +663,7 @@ if __name__ == "__main__":
             bad += 1
             print(f"seed {s}: ERROR {type(e).__name__}: {e}")
         sys.stdout.flush()
-    for s in range(FUZZ2_SEEDS):
+    for s in range(FUZZ_OFFSET, FUZZ_OFFSET + FUZZ2_SEEDS):
         try:
             dev, ref, src, song, poly = run_differential_seed_tier2(s)
             ok = dev < TIER2_BUDGET_DBFS and ref > 1e-5
